@@ -1,0 +1,216 @@
+"""Batched ray-scene intersection (JAX reference implementations).
+
+TPU-native replacement for the Embree facade (reference rt/rt.cxx:250-279,
+428-466): rays are SoA arrays, intersection is data-parallel over the whole
+wavefront. Two strategies:
+
+- brute force: Moller-Trumbore against triangle blocks — optimal on TPU for
+  Cornell-class scenes (everything stays in VMEM, pure VPU math, no
+  divergence),
+- BVH: fixed-stack traversal in a `lax.while_loop`, vmapped over rays, for
+  large scenes.
+
+A Pallas brute-force kernel (ops/pallas_trace.py) accelerates the hot path;
+these versions are the semantics reference and the CPU/test fallback.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+
+
+class Hit(NamedTuple):
+  t: jnp.ndarray        # (R,) float32, +inf when missed
+  tri: jnp.ndarray      # (R,) int32, -1 when missed
+  u: jnp.ndarray        # (R,) barycentric u
+  v: jnp.ndarray        # (R,) barycentric v
+
+  @property
+  def found(self):
+    return self.tri >= 0
+
+
+_MT_EPS = 1e-9
+
+
+def _mt_intersect(v0, e1, e2, o, d, t_min, t_max):
+  """Moller-Trumbore for one ray block against one triangle block.
+
+  Shapes: v0/e1/e2 (T,3); o/d (R,3); returns (R,T) t, u, v, valid.
+  """
+  # pvec = d x e2 : (R,T,3)
+  pvec = jnp.cross(d[:, None, :], e2[None, :, :])
+  det = jnp.sum(pvec * e1[None, :, :], axis=-1)  # (R,T)
+  inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+  tvec = o[:, None, :] - v0[None, :, :]  # (R,T,3)
+  u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+  qvec = jnp.cross(tvec, e1[None, :, :])  # (R,T,3)
+  v = jnp.sum(qvec * d[:, None, :], axis=-1) * inv_det
+  t = jnp.sum(qvec * e2[None, :, :], axis=-1) * inv_det
+  valid = (
+      (jnp.abs(det) > _MT_EPS)
+      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+      & (t >= t_min[:, None]) & (t <= t_max[:, None])
+  )
+  return t, u, v, valid
+
+
+def intersect_brute(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                    tri_mask=None, block: int = 512) -> Hit:
+  """Closest hit by scanning all triangles in blocks of `block`.
+
+  tri_mask: optional (T,) bool; False triangles are skipped (Void skip hook,
+  mirroring the Embree filter function in rt.cxx:428-466).
+  """
+  num_t = tri_v0.shape[0]
+  num_r = o.shape[0]
+  pad = (-num_t) % block
+  if pad:
+    tri_v0 = jnp.pad(tri_v0, ((0, pad), (0, 0)))
+    tri_e1 = jnp.pad(tri_e1, ((0, pad), (0, 0)))
+    tri_e2 = jnp.pad(tri_e2, ((0, pad), (0, 0)))
+  mask_full = jnp.ones(num_t + pad, bool) if tri_mask is None else jnp.pad(tri_mask, (0, pad))
+  mask_full = mask_full & (jnp.arange(num_t + pad) < num_t)
+
+  n_blocks = (num_t + pad) // block
+
+  def body(i, carry):
+    best_t, best_tri, best_u, best_v = carry
+    s = i * block
+    v0 = jax.lax.dynamic_slice_in_dim(tri_v0, s, block)
+    e1 = jax.lax.dynamic_slice_in_dim(tri_e1, s, block)
+    e2 = jax.lax.dynamic_slice_in_dim(tri_e2, s, block)
+    m = jax.lax.dynamic_slice_in_dim(mask_full, s, block)
+    t, u, v, valid = _mt_intersect(v0, e1, e2, o, d, t_min, t_max)
+    valid = valid & m[None, :]
+    t = jnp.where(valid, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)  # (R,)
+    rows = jnp.arange(num_r)
+    tj = t[rows, j]
+    better = tj < best_t
+    best_tri = jnp.where(better, (s + j).astype(jnp.int32), best_tri)
+    best_u = jnp.where(better, u[rows, j], best_u)
+    best_v = jnp.where(better, v[rows, j], best_v)
+    best_t = jnp.where(better, tj, best_t)
+    return best_t, best_tri, best_u, best_v
+
+  init = (
+      jnp.full((num_r,), jnp.inf, jnp.float32),
+      jnp.full((num_r,), -1, jnp.int32),
+      jnp.zeros((num_r,), jnp.float32),
+      jnp.zeros((num_r,), jnp.float32),
+  )
+  best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, n_blocks, body, init)
+  return Hit(best_t, best_tri, best_u, best_v)
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (vmapped fixed-stack while_loop).
+# ---------------------------------------------------------------------------
+
+_STACK_DEPTH = 64
+
+
+def _ray_aabb(node_min, node_max, o, inv_d, t_min, t_max):
+  t0 = (node_min - o) * inv_d
+  t1 = (node_max - o) * inv_d
+  tlo = jnp.minimum(t0, t1)
+  thi = jnp.maximum(t0, t1)
+  near = jnp.maximum(jnp.max(tlo), t_min)
+  far = jnp.minimum(jnp.min(thi), t_max)
+  return near <= far
+
+
+def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                  tri_mask=None) -> Hit:
+  """Closest hit via per-ray stack traversal (vmapped)."""
+  num_t = tri_v0.shape[0]
+  mask = jnp.ones(num_t, bool) if tri_mask is None else tri_mask
+
+  def one_ray(o1, d1, tmin1, tmax1):
+    inv_d = 1.0 / jnp.where(jnp.abs(d1) < 1e-20, jnp.where(d1 < 0, -1e-20, 1e-20), d1)
+
+    def mt_one(ti, best):
+      bt, btri, bu, bv = best
+      v0 = tri_v0[ti]
+      e1 = tri_e1[ti]
+      e2 = tri_e2[ti]
+      pvec = jnp.cross(d1, e2)
+      det = jnp.dot(pvec, e1)
+      inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+      tvec = o1 - v0
+      u = jnp.dot(tvec, pvec) * inv_det
+      qvec = jnp.cross(tvec, e1)
+      v = jnp.dot(qvec, d1) * inv_det
+      t = jnp.dot(qvec, e2) * inv_det
+      ok = (jnp.abs(det) > _MT_EPS) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= tmin1) & (t < bt) & (t <= tmax1) & mask[ti]
+      return (
+          jnp.where(ok, t, bt),
+          jnp.where(ok, ti, btri),
+          jnp.where(ok, u, bu),
+          jnp.where(ok, v, bv),
+      )
+
+    def cond(state):
+      sp = state[0]
+      return sp > 0
+
+    def body(state):
+      sp, stack, bt, btri, bu, bv = state
+      sp = sp - 1
+      node = stack[sp]
+      hit_box = _ray_aabb(bvh.node_min[node], bvh.node_max[node], o1, inv_d, tmin1, jnp.minimum(tmax1, bt))
+      count = bvh.node_count[node]
+      left = bvh.node_left[node]
+      is_leaf = count > 0
+
+      # leaf: test primitives
+      def leaf_fn(args):
+        bt, btri, bu, bv = args
+
+        def prim_body(k, best):
+          ti = bvh.prim_index[left + k]
+          return mt_one(ti, best)
+
+        return jax.lax.fori_loop(0, count, prim_body, (bt, btri, bu, bv))
+
+      bt, btri, bu, bv = jax.lax.cond(
+          hit_box & is_leaf, leaf_fn, lambda a: a, (bt, btri, bu, bv))
+
+      # inner: push children (left child = node+1, right = `left`)
+      push = hit_box & (~is_leaf)
+      stack = jax.lax.cond(
+          push,
+          lambda s: s.at[sp].set(node + 1).at[sp + 1].set(left),
+          lambda s: s,
+          stack,
+      )
+      sp = jnp.where(push, sp + 2, sp)
+      return sp, stack, bt, btri, bu, bv
+
+    stack0 = jnp.zeros(_STACK_DEPTH, jnp.int32)
+    state = (jnp.int32(1), stack0, jnp.float32(jnp.inf), jnp.int32(-1), jnp.float32(0), jnp.float32(0))
+    _, _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, state)
+    return bt, btri, bu, bv
+
+  bt, btri, bu, bv = jax.vmap(one_ray)(o, d, t_min, t_max)
+  return Hit(bt, btri, bu, bv)
+
+
+def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool = True) -> Hit:
+  """Closest-hit dispatch: brute force for small scenes, BVH otherwise."""
+  num_t = scene.tri_v0.shape[0]
+  if prefer_brute and num_t <= 4096:
+    return intersect_brute(scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+  return intersect_bvh(scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+
+
+def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
+  """Boolean occlusion query for shadow rays (rt.cxx trace usage in NEE)."""
+  hit = trace_closest(scene, o, d, t_min, t_max, tri_mask)
+  return hit.found & (hit.t <= t_max)

@@ -1,0 +1,191 @@
+"""Unit tests for the core layer: math, RNG, spectra, distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etx_tracer_tpu.core import distribution as dist
+from etx_tracer_tpu.core import math as em
+from etx_tracer_tpu.core import rng
+from etx_tracer_tpu.core import spectrum as sp
+
+
+class TestMath:
+  def test_normalize(self):
+    v = jnp.array([[3.0, 0.0, 4.0], [0.0, 2.0, 0.0]])
+    n = em.normalize(v)
+    np.testing.assert_allclose(em.length(n), [1.0, 1.0], atol=1e-6)
+
+  def test_reflect(self):
+    v = jnp.array([1.0, -1.0, 0.0])
+    n = jnp.array([0.0, 1.0, 0.0])
+    r = em.reflect(v, n)
+    np.testing.assert_allclose(r, [1.0, 1.0, 0.0], atol=1e-6)
+
+  def test_orthonormal_basis(self):
+    keys = np.random.RandomState(0).normal(size=(64, 3)).astype(np.float32)
+    n = em.normalize(jnp.asarray(keys))
+    u, v = em.orthonormal_basis(n)
+    np.testing.assert_allclose(em.dot(u, n), 0.0, atol=1e-5)
+    np.testing.assert_allclose(em.dot(v, n), 0.0, atol=1e-5)
+    np.testing.assert_allclose(em.dot(u, v), 0.0, atol=1e-5)
+    np.testing.assert_allclose(em.length(u), 1.0, atol=1e-5)
+
+  def test_frames_roundtrip(self):
+    rs = np.random.RandomState(1)
+    n = em.normalize(jnp.asarray(rs.normal(size=(16, 3)).astype(np.float32)))
+    u, v = em.orthonormal_basis(n)
+    frame = em.make_frame(u, v, n)
+    w = em.normalize(jnp.asarray(rs.normal(size=(16, 3)).astype(np.float32)))
+    loc = em.to_local(frame, w)
+    back = em.from_local(frame, loc)
+    np.testing.assert_allclose(back, w, atol=1e-5)
+
+  def test_cosine_sampling_moments(self):
+    # E[cos theta] for cosine-weighted hemisphere = 2/3
+    rs = np.random.RandomState(2)
+    rnd = jnp.asarray(rs.uniform(size=(200000, 2)).astype(np.float32))
+    d = em.sample_cosine_distribution(rnd, 1.0)
+    assert abs(float(jnp.mean(d[:, 2])) - 2.0 / 3.0) < 5e-3
+    assert float(jnp.min(d[:, 2])) >= 0.0
+
+  def test_sample_disk_in_unit_disk(self):
+    rs = np.random.RandomState(3)
+    rnd = jnp.asarray(rs.uniform(size=(10000, 2)).astype(np.float32))
+    d = em.sample_disk(rnd)
+    r2 = d[:, 0] ** 2 + d[:, 1] ** 2
+    assert float(jnp.max(r2)) <= 1.0 + 1e-5
+    # area-uniform: E[r^2] = 1/2
+    assert abs(float(jnp.mean(r2)) - 0.5) < 5e-3
+
+  def test_offset_ray_moves_towards_normal(self):
+    p = jnp.array([[1.0, -2.0, 1e-6]])
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    q = em.offset_ray(p, n)
+    assert float(q[0, 2]) > float(p[0, 2])
+
+  def test_power_heuristic(self):
+    assert float(em.power_heuristic(jnp.array(1.0), jnp.array(1.0))) == pytest.approx(0.5)
+    assert float(em.power_heuristic(jnp.array(0.0), jnp.array(0.0))) == 0.0
+
+  def test_spherical_uv_roundtrip(self):
+    rs = np.random.RandomState(4)
+    d = em.normalize(jnp.asarray(rs.normal(size=(128, 3)).astype(np.float32)))
+    uv = em.direction_to_uv(d)
+    d2 = em.uv_to_direction(uv)
+    np.testing.assert_allclose(d2, d, atol=1e-4)
+
+
+class TestRng:
+  def test_seed_matches_reference_algorithm(self):
+    # Scalar replication of the TEA-16 hash in sampler.hxx:54-64.
+    def ref_seed(val0, val1):
+      mask = 0xFFFFFFFF
+      v0, v1, s0 = val0, val1, 0
+      for _ in range(16):
+        s0 = (s0 + 0x9E3779B9) & mask
+        v0 = (v0 + ((((v1 << 4) & mask) + 0xA341316C) ^ ((v1 + s0) & mask) ^ ((v1 >> 5) + 0xC8013EA4))) & mask
+        v1 = (v1 + ((((v0 << 4) & mask) + 0xAD90777D) ^ ((v0 + s0) & mask) ^ ((v0 >> 5) + 0x7E95761E))) & mask
+      return v0
+
+    a = jnp.array([0, 1, 12345], dtype=jnp.uint32)
+    b = jnp.array([0, 7, 999], dtype=jnp.uint32)
+    got = rng.seed(a, b)
+    want = [ref_seed(int(x), int(y)) for x, y in zip([0, 1, 12345], [0, 7, 999])]
+    np.testing.assert_array_equal(np.asarray(got), np.array(want, dtype=np.uint32))
+
+  def test_uniformity(self):
+    state = rng.seed(jnp.arange(100000, dtype=jnp.uint32), jnp.zeros(100000, jnp.uint32))
+    state, f = rng.next_float(state)
+    f = np.asarray(f)
+    assert f.min() >= 0.0 and f.max() < 1.0
+    assert abs(f.mean() - 0.5) < 3e-3
+    assert abs(f.var() - 1.0 / 12.0) < 1e-3
+
+  def test_sequential_decorrelation(self):
+    state = rng.seed(jnp.arange(20000, dtype=jnp.uint32), jnp.zeros(20000, jnp.uint32))
+    state, a = rng.next_float(state)
+    state, b = rng.next_float(state)
+    corr = np.corrcoef(np.asarray(a), np.asarray(b))[0, 1]
+    assert abs(corr) < 0.02
+
+
+class TestSpectrum:
+  def test_wavelength_sampling_range_and_pdf(self):
+    u = jnp.linspace(0.0, 0.9999, 4096)
+    wl = sp.sample_wavelength(u)
+    assert float(wl.min()) >= sp.kShortestWavelength - 1.0
+    assert float(wl.max()) <= sp.kLongestWavelength + 1.0
+    # MC integral of pdf over sampled wavelengths should be ~1:
+    # E[1] = integral pdf = 1, estimated as mean(pdf(wl)/pdf(wl)) trivially;
+    # instead check pdf integrates to ~1 over the range numerically.
+    # The reference pdf constant omits the truncation factor; over the
+    # truncated range it integrates to kSpectralTruncation, not 1 (parity).
+    grid = jnp.linspace(sp.kShortestWavelength, sp.kLongestWavelength, 20000)
+    integral = float(jnp.trapezoid(sp.sampling_pdf(grid), grid))
+    assert abs(integral - sp.kSpectralTruncation) < 5e-3
+
+  def test_white_spectral_integrates_to_white(self):
+    # A constant (=1) spectrum integrated through CIE then XYZ->RGB should
+    # be near equal-energy white mapped to sRGB.
+    sd = sp.SpectralDistribution.constant(1.0)
+    xyz = sd.integrate_to_xyz()
+    assert abs(xyz[1] - 1.0) < 1e-6  # Y normalized by Y_INTEGRAL
+
+  def test_rgb_basis_roundtrip(self):
+    # Upsampled RGB reflectances must integrate back to their RGB value.
+    for rgb in [(1.0, 1.0, 1.0), (1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0), (0.2, 0.5, 0.8)]:
+      sd = sp.SpectralDistribution.rgb_reflectance(np.array(rgb))
+      xyz = sd.integrate_to_xyz()
+      got = sp.XYZ_TO_RGB @ xyz.astype(np.float32)
+      np.testing.assert_allclose(got, rgb, atol=0.05)
+
+  def test_rgb_basis_nonnegative(self):
+    basis = np.asarray(sp.rgb_basis())
+    assert basis.min() >= 0.0
+
+  def test_monte_carlo_spectral_estimator_matches_rgb(self):
+    # Render-style estimate: sample wl, weight = basis(wl, rgb)/pdf ->
+    # accumulate xyz; must converge to rgb_to_xyz(rgb).
+    rgb = jnp.array([0.7, 0.3, 0.5])
+    u = (jnp.arange(8192) + 0.5) / 8192.0
+    wl = sp.sample_wavelength(u)
+    refl = sp.rgb_response(wl, rgb)[..., 0]
+    xyz = sp.spectral_to_xyz(refl / sp.sampling_pdf(wl), wl)
+    est = np.asarray(jnp.mean(xyz, axis=0))
+    # Rendering estimator inherits the reference's 1/truncation scale.
+    want = np.asarray(sp.rgb_to_xyz(rgb)) / sp.kSpectralTruncation
+    np.testing.assert_allclose(est, want, atol=0.02)
+
+  def test_blackbody_peak(self):
+    # Wien displacement: 5778K peaks near 501nm.
+    wl = jnp.linspace(300.0, 1200.0, 2000)
+    vals = sp.black_body_radiation(wl, 5778.0)
+    peak = float(wl[int(jnp.argmax(vals))])
+    assert abs(peak - sp.black_body_radiation_maximum_wavelength(5778.0)) < 5.0
+
+  def test_query_bank(self):
+    sd = sp.SpectralDistribution.from_samples(np.array([400.0, 700.0]), np.array([1.0, 4.0]))
+    bank = jnp.asarray(sd.values)[None, :]
+    v = sp.query_bank(bank, jnp.array([0]), jnp.array([550.0]))
+    np.testing.assert_allclose(v, [[2.5]], atol=1e-3)
+    # outside the sampled range -> 0
+    v0 = sp.query_bank(bank, jnp.array([0]), jnp.array([395.0]))
+    np.testing.assert_allclose(v0, [[0.0]], atol=1e-6)
+
+
+class TestDistribution:
+  def test_build_and_sample(self):
+    pdf, cdf, total = dist.build(np.array([1.0, 2.0, 3.0, 4.0]))
+    assert total == pytest.approx(10.0)
+    np.testing.assert_allclose(pdf, [0.1, 0.2, 0.3, 0.4], atol=1e-6)
+    u = jnp.asarray(np.random.RandomState(0).uniform(size=100000).astype(np.float32))
+    idx, p = dist.sample(jnp.asarray(cdf), jnp.asarray(pdf), u)
+    counts = np.bincount(np.asarray(idx), minlength=4) / 100000.0
+    np.testing.assert_allclose(counts, [0.1, 0.2, 0.3, 0.4], atol=5e-3)
+
+  def test_zero_weights(self):
+    pdf, cdf, total = dist.build(np.zeros(3))
+    assert total == 0.0
+    assert np.all(np.isfinite(pdf))

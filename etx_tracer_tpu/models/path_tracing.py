@@ -1,0 +1,498 @@
+"""Wavefront unidirectional path tracer with NEE + MIS.
+
+Port of the reference CPU path tracer's semantics
+(rt/integrators/path_tracing.cxx + rt/shared/path_tracing_shared.hxx:238-510)
+re-architected for TPU: the whole film is one SoA wavefront (one ray per
+pixel per iteration), each bounce is a data-parallel step, and the bounce
+loop is a `lax.while_loop` that exits when every lane is dead. No
+compaction is needed because rays never migrate between pixels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+from etx_tracer_tpu.core import rng
+from etx_tracer_tpu.core import spectrum as spmod
+from etx_tracer_tpu.ops import trace as trace_ops
+from etx_tracer_tpu.render import bsdf as bsdf_mod
+from etx_tracer_tpu.render import camera as camera_mod
+from etx_tracer_tpu.render import emitters as emitters_mod
+from etx_tracer_tpu.render import film as film_mod
+from etx_tracer_tpu.render import spectral as spx
+from etx_tracer_tpu.render.bsdf import dispatch as bsdf_dispatch
+from etx_tracer_tpu.render.bsdf.lobes import ShadingData
+from etx_tracer_tpu.scene.types import MaterialClass as MC
+
+
+class PTState(NamedTuple):
+  """SoA wavefront payload (PTRayPayload, path_tracing_shared.hxx:16-32)."""
+  ray_o: jnp.ndarray        # (R,3)
+  ray_d: jnp.ndarray        # (R,3)
+  t_min: jnp.ndarray        # (R,)
+  t_max: jnp.ndarray        # (R,)
+  throughput: jnp.ndarray   # (R,C)
+  accumulated: jnp.ndarray  # (R,C)
+  view_normal: jnp.ndarray  # (R,3)
+  view_albedo: jnp.ndarray  # (R,C)
+  medium: jnp.ndarray       # (R,) int32
+  path_length: jnp.ndarray  # (R,) int32
+  eta: jnp.ndarray          # (R,)
+  bsdf_pdf: jnp.ndarray     # (R,)
+  mis_flag: jnp.ndarray     # (R,) bool
+  rng_state: jnp.ndarray    # (R,) uint32
+  wl: jnp.ndarray           # (R,) wavelength (spectral)
+  alive: jnp.ndarray        # (R,) bool
+  pixel: jnp.ndarray        # (R,) int32 film pixel this lane contributes to
+  sample_iter: jnp.ndarray  # (R,) int32 sample iteration of this lane
+  rays_traced: jnp.ndarray  # () float32 — useful rays (closest + shadow), for Mrays/s
+
+
+def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
+  """Per-lane payload for arbitrary sample ids (pixel, iteration) pairs.
+
+  sample_id s maps to pixel s % (W*H) and iteration s // (W*H); lanes with
+  s >= end_sample start dead (pool tail). Seeding matches the reference:
+  rng = tea(pixel_index, iteration) (path_tracing_shared.hxx:238-257), so
+  results are independent of pool scheduling.
+  """
+  w, h = config.film_width, config.film_height
+  npix = w * h
+  r = sample_ids.shape[0]
+  c = spx.channels(config.spectral)
+  pixel_index = (sample_ids % npix).astype(jnp.uint32)
+  iteration = (sample_ids // npix).astype(jnp.uint32)
+  state = rng.seed(pixel_index, iteration)
+
+  state, wl_rnd = rng.next_float(state)
+  if config.spectral:
+    wl = spmod.sample_wavelength(wl_rnd)
+  else:
+    wl = jnp.zeros(r)
+
+  px = (pixel_index % w).astype(jnp.int32)
+  py = (pixel_index // w).astype(jnp.int32)
+  state, jit_rnd = rng.next_2d(state)
+  # iteration 0 renders pixel centers (film.cxx empty filter); later
+  # iterations jitter in the pixel (box; Blackman-Harris image TBD)
+  jitter = jnp.where((iteration == 0)[..., None], 0.0, jit_rnd - 0.5)
+  uv = camera_mod.film_uv(px, py, w, h, jitter)
+  state, lens_rnd = rng.next_2d(state)
+  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+
+  alive = sample_ids < end_sample
+  return PTState(
+      ray_o=rays.o, ray_d=rays.d, t_min=rays.t_min, t_max=rays.t_max,
+      throughput=jnp.ones((r, c)), accumulated=jnp.zeros((r, c)),
+      view_normal=jnp.zeros((r, 3)), view_albedo=jnp.zeros((r, c)),
+      medium=jnp.full(r, scene.camera.medium_index, jnp.int32),
+      path_length=jnp.ones(r, jnp.int32),
+      eta=jnp.ones(r), bsdf_pdf=jnp.zeros(r),
+      mis_flag=jnp.ones(r, bool),
+      rng_state=state, wl=wl, alive=alive,
+      pixel=pixel_index.astype(jnp.int32),
+      sample_iter=iteration.astype(jnp.int32),
+      rays_traced=jnp.zeros((), jnp.float32))
+
+
+def make_payload(scene, config, iteration) -> PTState:
+  """make_ray_payload over the full film (one lane per pixel)."""
+  w, h = config.film_width, config.film_height
+  r = w * h
+  ids = jnp.arange(r, dtype=jnp.int32) + iteration * r
+  return make_lane_payload(scene, config, ids, (iteration + 1) * r)
+
+
+def _interpolate_hit(scene, hit, w_i):
+  """make_intersection (scene.hxx:202-226) without normal mapping.
+
+  One packed-row fetch (MXU one-hot for small scenes) supplies all
+  per-triangle shading data; vertex attributes come pre-staged per corner
+  so no per-vertex gathers are needed.
+  """
+  from etx_tracer_tpu.ops import gather as gops
+  from etx_tracer_tpu.scene import packed
+
+  tri = jnp.maximum(hit.tri, 0)
+  bc = em.barycentrics(jnp.stack([hit.u, hit.v], axis=-1))
+  rows = packed.TriRows(gops.take_rows(scene.tri_table, tri))
+
+  w0, w1, w2 = bc[..., 0:1], bc[..., 1:2], bc[..., 2:3]
+  # position directly from the intersection arrays: v0 + u*e1 + v*e2
+  tv = gops.take_rows(
+      jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1), tri)
+  pos = tv[:, 0:3] + hit.u[..., None] * tv[:, 3:6] + hit.v[..., None] * tv[:, 6:9]
+
+  nrm = em.normalize(rows.n0 * w0 + rows.n1 * w1 + rows.n2 * w2)
+  tan = rows.t0 * w0 + rows.t1 * w1 + rows.t2 * w2
+  tan = em.normalize(tan - em.dot(tan, nrm)[..., None] * nrm)
+  btn_ref = rows.b0 * w0 + rows.b1 * w1 + rows.b2 * w2
+  btn = em.cross(nrm, tan)
+  btn = em.normalize(btn * jnp.where(em.dot(btn, btn_ref) > 0.0, 1.0, -1.0)[..., None])
+  uv = rows.uv0 * w0 + rows.uv1 * w1 + rows.uv2 * w2
+  return pos, nrm, tan, btn, uv, bc, tri, rows
+
+
+def _shading_pos(geo_n, geo_pos, w_o):
+  """Self-intersection-safe continuation origin.
+
+  Simplified shading_pos (scene.hxx:172-186): offset along the geometric
+  normal toward the outgoing side.
+  """
+  side = jnp.where(em.dot(geo_n, w_o) >= 0.0, 1.0, -1.0)[..., None]
+  return em.offset_ray(geo_pos, geo_n * side)
+
+
+def _random_continue(path_length, rr_start: int, eta, rnd, throughput):
+  """Russian roulette (scene.hxx:228-248). Returns (continue?, throughput)."""
+  max_t = jnp.max(throughput, axis=-1) * em.sqr(eta)
+  q = jnp.minimum(0.95, max_t)
+  before_start = path_length < rr_start
+  cont = before_start | ((q > 0.0) & (rnd < q))
+  scale = jnp.where(before_start | (q <= 0.0), 1.0, 1.0 / jnp.maximum(q, 1e-9))
+  thr = throughput * scale[..., None]
+  nonzero = jnp.max(throughput, axis=-1) > 0.0
+  return cont & nonzero, thr
+
+
+def _gather_mat(scene, mat_idx):
+  from etx_tracer_tpu.ops import gather as gops
+  from etx_tracer_tpu.scene import packed
+  return packed.unpack_material_rows(gops.take_rows(scene.mat_table, mat_idx))
+
+
+def pt_step(scene, config, state: PTState) -> PTState:
+  """One wavefront bounce (run_path_iteration, path_tracing_shared.hxx:485)."""
+  spectral = config.spectral
+  classes = config.material_classes
+  r = state.ray_o.shape[0]
+
+  # dead lanes trace a degenerate ray
+  t_max = jnp.where(state.alive, state.t_max, 0.0)
+  hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d, state.t_min, t_max)
+  found = hit.found & state.alive
+
+  rng_state = state.rng_state
+  accumulated = state.accumulated
+  throughput = state.throughput
+
+  # ---------------------------------------------------------------- miss
+  if config.num_env_emitters > 0:
+    env = emitters_mod.env_contribution(
+        scene, state.ray_d, state.wl, state.path_length == 1, state.mis_flag,
+        state.bsdf_pdf, config.num_env_emitters, spectral)
+    miss = state.alive & ~hit.found
+    accumulated = accumulated + jnp.where(miss[..., None], throughput * env, 0.0)
+
+  # ----------------------------------------------------------------- hit
+  pos, nrm, tan, btn, uv, bc, tri, trows = _interpolate_hit(scene, hit, state.ray_d)
+  mat_idx = trows.mat
+  mat = _gather_mat(scene, mat_idx)
+  emitter_idx = jnp.where(found, trows.emitter, -1)
+
+  sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                   geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                   medium=state.medium, mat=mat)
+
+  # boundary materials: pass through, swap medium (path_tracing_shared:359-365)
+  is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
+
+  # --- direct emitter hit (handle_direct_emitter, :325-353) ---
+  directly_visible = state.path_length == 1
+  e_value, _, e_pdf_dir, _ = emitters_mod.area_radiance(
+      scene, emitter_idx, state.wl, state.ray_o, pos, uv, directly_visible, spectral)
+  e_discrete = emitters_mod.discrete_pdf(scene, jnp.maximum(emitter_idx, 0))
+  no_weight = directly_visible | ~state.mis_flag
+  mis_w = jnp.where(no_weight, 1.0, em.power_heuristic(state.bsdf_pdf, e_discrete * e_pdf_dir))
+  direct_ok = found & ~is_boundary & (e_pdf_dir > 0.0)
+  accumulated = accumulated + jnp.where(
+      direct_ok[..., None], throughput * e_value * mis_w[..., None], 0.0)
+
+  # --- first-hit AOVs ---
+  albedo_here = bsdf_dispatch.albedo(scene, sd, spectral)
+  first = found & directly_visible
+  view_normal = jnp.where(first[..., None], nrm, state.view_normal)
+  view_albedo = jnp.where(first[..., None], albedo_here, state.view_albedo)
+
+  # --- BSDF sample ---
+  rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
+  bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+
+  # --- NEE (direct light sampling, :414-435) ---
+  rng_state, rnd_sel = rng.next_float(rng_state)
+  rng_state, rnd_em = rng.next_2d(rng_state)
+  can_nee = found & ~is_boundary & (state.path_length + 1 <= config.max_path_length)
+  if True:  # NEE block
+    em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
+    esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral)
+    bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes)
+    # shadow ray from offset shading position toward the emitter point
+    sh_o = _shading_pos(trows.geo_n, pos, esmp.direction)
+    to_em = esmp.origin - sh_o
+    dist = em.length(to_em)
+    occluded = trace_ops.trace_occluded(
+        scene, sh_o, esmp.direction, jnp.full(r, em.kRayEpsilon),
+        jnp.maximum(dist * (1.0 - 1e-3), 0.0))
+    w_mis = jnp.where(esmp.is_delta, 1.0,
+                      em.power_heuristic(esmp.pdf_dir * esmp.pdf_sample, bsdf_pdf_at))
+    denom = esmp.pdf_dir * esmp.pdf_sample
+    contrib = bsdf_val * esmp.value * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
+    nee_ok = can_nee & (denom > 0.0) & ~occluded & (bsdf_pdf_at > 0.0)
+    accumulated = accumulated + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
+
+  # --- continuation ---
+  # boundary: continue straight through with medium swap
+  ent = em.dot(nrm, state.ray_d) < 0.0
+  boundary_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
+
+  new_d = jnp.where(is_boundary[..., None], state.ray_d, bs.w_o)
+  new_o = _shading_pos(trows.geo_n, pos, new_d)
+  new_medium = jnp.where(is_boundary, boundary_medium, bs.medium)
+  new_throughput = jnp.where(is_boundary[..., None], throughput, throughput * bs.weight)
+  new_bsdf_pdf = jnp.where(is_boundary, state.bsdf_pdf, bs.pdf)
+  new_mis = jnp.where(is_boundary, state.mis_flag, ~bs.is_delta)
+  new_eta = jnp.where(is_boundary, state.eta, state.eta * bs.eta)
+  new_len = state.path_length + jnp.where(is_boundary, 0, 1)
+
+  # Russian roulette (not applied to boundary pass-through)
+  rng_state, rr_rnd = rng.next_float(rng_state)
+  cont, new_throughput = _random_continue(new_len, config.rr_start, new_eta, rr_rnd, new_throughput)
+  cont = cont | is_boundary
+
+  sample_ok = is_boundary | (bs.pdf > 0.0)
+  alive = found & cont & sample_ok & (new_len <= config.max_path_length)
+
+  rays_traced = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32)) \
+      + jnp.sum(nee_ok.astype(jnp.float32))
+
+  return PTState(
+      ray_o=new_o, ray_d=new_d,
+      t_min=jnp.full(r, em.kRayEpsilon), t_max=jnp.full(r, em.kMaxFloat),
+      throughput=new_throughput, accumulated=accumulated,
+      view_normal=view_normal, view_albedo=view_albedo,
+      medium=new_medium, path_length=new_len, eta=new_eta,
+      bsdf_pdf=new_bsdf_pdf, mis_flag=new_mis,
+      rng_state=rng_state, wl=state.wl, alive=alive,
+      pixel=state.pixel, sample_iter=state.sample_iter,
+      rays_traced=rays_traced)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_iteration_stats(scene, config, film_state: film_mod.FilmState, iteration):
+  """One iteration; returns (film, rays_traced) — rays for Mrays/s metrics."""
+  state = make_payload(scene, config, iteration)
+
+  def cond(s):
+    return jnp.any(s.alive)
+
+  def body(s):
+    return pt_step(scene, config, s)
+
+  state = jax.lax.while_loop(cond, body, state)
+  film_state = _finalize(scene, config, film_state, state)
+  return film_state, state.rays_traced
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def render_iteration(scene, config, film_state: film_mod.FilmState, iteration) -> film_mod.FilmState:
+  """One full-film sample-per-pixel iteration; returns the updated film."""
+  state = make_payload(scene, config, iteration)
+
+  def cond(s):
+    return jnp.any(s.alive)
+
+  def body(s):
+    return pt_step(scene, config, s)
+
+  state = jax.lax.while_loop(cond, body, state)
+  return _finalize(scene, config, film_state, state)
+
+
+def _finalize(scene, config, film_state, state):
+
+  w, h = config.film_width, config.film_height
+  color = spx.to_film_rgb(state.accumulated, state.wl, config.spectral)
+  albedo = spx.to_film_rgb(state.view_albedo, state.wl, config.spectral)
+
+  # radiance clamp (path_tracing.cxx:74-79)
+  lum = em.luminance(color)
+  clamp = scene.radiance_clamp
+  scale = jnp.where((clamp > 0.0) & (lum > clamp) & (state.path_length > 1),
+                    clamp / jnp.maximum(lum, 1e-9), 1.0)
+  color = color * scale[..., None]
+
+  colors = color.reshape(h, w, 3)
+  normals = state.view_normal.reshape(h, w, 3)
+  albedos = albedo.reshape(h, w, 3)
+  return film_mod.accumulate_camera(film_state, colors, normals, albedos)
+
+
+# ---------------------------------------------------------------------------
+# Pooled wavefront renderer with lane regeneration.
+#
+# The per-iteration driver above keeps one lane per pixel and loops until the
+# LAST path dies — with long max-path budgets utilization collapses (most
+# lanes are masked-dead). This driver is the real TPU architecture: a fixed
+# SoA ray pool; when a lane terminates, its radiance is scatter-added to the
+# film and the lane immediately regenerates with the next (pixel, sample)
+# from a global counter. This replaces the reference GPU path's atomic
+# compaction queues (bin/optix/vcm/vcm-optix.cu:8-17) with prefix-sum lane
+# reassignment — utilization stays ~100% for any path-length budget.
+#
+# Note on determinism: per-sample RNG depends only on (pixel, iteration), so
+# results are schedule-independent — except for rays grazing a geometric
+# edge, where the closest-hit float tie between two adjacent triangles can
+# resolve differently across compilation contexts. Both resolutions are
+# valid surface hits; the estimator is unaffected.
+# ---------------------------------------------------------------------------
+
+
+class FilmSums(NamedTuple):
+  """Flat per-pixel accumulation table: ONE fused scatter-add per step.
+
+  Columns: cam(3), nrm(3), alb(3), var(3), count(1), var_count(1) = 14.
+  """
+  table: jnp.ndarray  # (H*W, 14)
+
+  @property
+  def cam_sum(self):
+    return self.table[:, 0:3]
+
+  @property
+  def nrm_sum(self):
+    return self.table[:, 3:6]
+
+  @property
+  def alb_sum(self):
+    return self.table[:, 6:9]
+
+  @property
+  def var_sum(self):
+    return self.table[:, 9:12]
+
+  @property
+  def count(self):
+    return self.table[:, 12]
+
+  @property
+  def var_count(self):
+    return self.table[:, 13]
+
+
+_SUMS_WIDTH = 14
+
+
+def _empty_sums(w, h):
+  return FilmSums(jnp.zeros((h * w, _SUMS_WIDTH), jnp.float32))
+
+
+def _lane_color(scene, config, state):
+  """Finalize a lane's radiance to film RGB with the radiance clamp."""
+  color = spx.to_film_rgb(state.accumulated, state.wl, config.spectral)
+  lum = em.luminance(color)
+  clamp = scene.radiance_clamp
+  scale = jnp.where((clamp > 0.0) & (lum > clamp) & (state.path_length > 1),
+                    clamp / jnp.maximum(lum, 1e-9), 1.0)
+  return color * scale[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_iterations", "pool_size"))
+def render_samples(scene, config, first_iteration, num_iterations: int,
+                   pool_size: int = 1 << 17):
+  """Render num_iterations spp with a regenerating wavefront pool.
+
+  Returns (FilmSums, rays_traced). Deterministic: lane seeds depend only on
+  (pixel, iteration), never on pool scheduling.
+  """
+  w, h = config.film_width, config.film_height
+  npix = w * h
+  total = npix * num_iterations
+  p = min(pool_size, total)
+
+  base = first_iteration * npix
+  ids0 = base + jnp.arange(p, dtype=jnp.int32)
+  end = base + total
+  state = make_lane_payload(scene, config, ids0, end)
+  sums = _empty_sums(w, h)
+  counter = jnp.int32(base + p)
+
+  def cond(carry):
+    state, counter, sums = carry
+    return jnp.any(state.alive)
+
+  def body(carry):
+    state, counter, sums = carry
+    new_state = pt_step(scene, config, state)
+    died = state.alive & ~new_state.alive
+
+    # ONE fused scatter-add of all film channels for finished lanes
+    color = _lane_color(scene, config, new_state)
+    px = jnp.where(died, new_state.pixel, 0)
+    dmask = died[..., None].astype(jnp.float32)
+    even = (died & ((new_state.sample_iter % 2) == 0))[..., None].astype(jnp.float32)
+    alb = spx.to_film_rgb(new_state.view_albedo, new_state.wl, config.spectral)
+    row = jnp.concatenate([
+        color * dmask,
+        new_state.view_normal * dmask,
+        alb * dmask,
+        color * even,
+        dmask,
+        even,
+    ], axis=-1)
+    sums = FilmSums(sums.table.at[px].add(row))
+
+    # regenerate dead lanes with the next sample ids (prefix-sum ranks)
+    ranks = jnp.cumsum(died.astype(jnp.int32)) - 1
+    new_ids = counter + ranks
+    fresh = make_lane_payload(scene, config, jnp.where(died, new_ids, 0), end)
+    regen = died & (new_ids < end)
+
+    def pick(f, o):
+      if f.ndim == 0:
+        return o
+      m = regen
+      while m.ndim < f.ndim:
+        m = m[..., None]
+      return jnp.where(m, f, o)
+
+    merged = jax.tree_util.tree_map(pick, fresh, new_state)
+    merged = merged._replace(
+        alive=jnp.where(died, regen, new_state.alive),
+        rays_traced=new_state.rays_traced)
+    counter = counter + jnp.sum(died.astype(jnp.int32))
+    return merged, counter, sums
+
+  state, counter, sums = jax.lax.while_loop(cond, body, (state, counter, sums))
+  return sums, state.rays_traced
+
+
+def finalize_film(sums: FilmSums, iterations: int, width: int | None = None) -> film_mod.FilmState:
+  """Convert accumulated sums to the FilmState mean-based layers."""
+  npix = sums.table.shape[0]
+  if width is None:
+    width = int(round(npix ** 0.5))
+  w = width
+  h = npix // w
+  count = jnp.maximum(sums.count, 1.0)[..., None]
+  vcount = jnp.maximum(sums.var_count, 1.0)[..., None]
+  z = jnp.zeros((h, w, 3), jnp.float32)
+  return film_mod.FilmState(
+      camera=(sums.cam_sum / count).reshape(h, w, 3),
+      variance_half=(sums.var_sum / vcount).reshape(h, w, 3),
+      normals=(sums.nrm_sum / count).reshape(h, w, 3),
+      albedo=(sums.alb_sum / count).reshape(h, w, 3),
+      light=z, light_iteration=z,
+      iteration=jnp.asarray(iterations, jnp.int32))
+
+
+def render(scene, config, iterations: int | None = None,
+           pool_size: int = 1 << 17) -> film_mod.FilmState:
+  """Render `iterations` spp (defaults to config.samples) via the pool."""
+  n = config.samples if iterations is None else iterations
+  sums, _ = render_samples(scene, config, 0, n, pool_size=min(pool_size, config.film_width * config.film_height * n))
+  return finalize_film(sums, n, config.film_width)

@@ -60,6 +60,55 @@ def _mt_intersect(v0, e1, e2, o, d, t_min, t_max):
   return t, u, v, valid
 
 
+def intersect_scan(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                   tri_mask=None) -> Hit:
+  """Closest hit via lax.scan over triangles, carrying the running best.
+
+  Avoids materializing (R,T) intermediates in HBM: each scan step touches
+  only (R,)-shaped arrays, which XLA fuses into one bandwidth-lean loop —
+  the preferred XLA fallback for small/medium scenes on TPU.
+  """
+  num_r = o.shape[0]
+  num_t = tri_v0.shape[0]
+  mask = jnp.ones(num_t, bool) if tri_mask is None else tri_mask
+
+  ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+  dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+  def step(best, tri):
+    v0, e1, e2, m = tri
+    best_t, best_tri, best_u, best_v, idx = best
+    # pvec = d x e2 (per-component, scalar triangle)
+    px = dy * e2[2] - dz * e2[1]
+    py = dz * e2[0] - dx * e2[2]
+    pz = dx * e2[1] - dy * e2[0]
+    det = px * e1[0] + py * e1[1] + pz * e1[2]
+    inv_det = jnp.where(jnp.abs(det) > _MT_EPS, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tx = ox - v0[0]
+    ty = oy - v0[1]
+    tz = oz - v0[2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1[2] - tz * e1[1]
+    qy = tz * e1[0] - tx * e1[2]
+    qz = tx * e1[1] - ty * e1[0]
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t >= t_min) & (t <= t_max) & (t < best_t) & m)
+    best = (jnp.where(ok, t, best_t), jnp.where(ok, idx, best_tri),
+            jnp.where(ok, u, best_u), jnp.where(ok, v, best_v), idx + 1)
+    return best, None
+
+  init = (jnp.full((num_r,), jnp.inf, jnp.float32),
+          jnp.full((num_r,), -1, jnp.int32),
+          jnp.zeros((num_r,), jnp.float32),
+          jnp.zeros((num_r,), jnp.float32),
+          jnp.int32(0))
+  (best_t, best_tri, best_u, best_v, _), _ = jax.lax.scan(
+      step, init, (tri_v0, tri_e1, tri_e2, mask))
+  return Hit(best_t, best_tri, best_u, best_v)
+
+
 def intersect_brute(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
                     tri_mask=None, block: int = 512) -> Hit:
   """Closest hit by scanning all triangles in blocks of `block`.
@@ -203,10 +252,18 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
 
 
 def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool = True) -> Hit:
-  """Closest-hit dispatch: brute force for small scenes, BVH otherwise."""
+  """Closest-hit dispatch: triangle-scan for small scenes, BVH otherwise.
+
+  The scan keeps all intermediates at (R,) so HBM traffic stays minimal;
+  the Pallas kernel (ops/pallas_trace.py) takes over on TPU when available.
+  """
   num_t = scene.tri_v0.shape[0]
   if prefer_brute and num_t <= 4096:
-    return intersect_brute(scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+    from etx_tracer_tpu.ops import pallas_trace
+    if pallas_trace.available():
+      return pallas_trace.intersect_pallas(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+    return intersect_scan(scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
   return intersect_bvh(scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
 
 

@@ -1,0 +1,166 @@
+"""Masked BSDF dispatch over material classes (scene_bsdf.hxx:26-108).
+
+Instead of the reference's per-ray switch, every lobe whose class appears in
+the scene (a static tuple) evaluates on the whole wavefront and results are
+blended by class masks. Principled is a deterministic mixture of
+conductor/dielectric/plastic (the reference selects stochastically,
+bsdf_principled.hxx:16-114 — a mixture has identical expectation and lower
+variance).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from etx_tracer_tpu.render import spectral as spx
+from etx_tracer_tpu.render.bsdf import lobes
+from etx_tracer_tpu.scene.types import MaterialClass as MC
+
+
+def _select_sample(mask, a: lobes.BSDFSampleR, b: lobes.BSDFSampleR) -> lobes.BSDFSampleR:
+  m1 = mask[..., None]
+  return lobes.BSDFSampleR(
+      w_o=jnp.where(m1, a.w_o, b.w_o),
+      weight=jnp.where(m1, a.weight, b.weight),
+      pdf=jnp.where(mask, a.pdf, b.pdf),
+      eta=jnp.where(mask, a.eta, b.eta),
+      is_delta=jnp.where(mask, a.is_delta, b.is_delta),
+      is_diffuse=jnp.where(mask, a.is_diffuse, b.is_diffuse),
+      is_reflection=jnp.where(mask, a.is_reflection, b.is_reflection),
+      medium=jnp.where(mask, a.medium, b.medium),
+  )
+
+
+_SAMPLERS = {
+    MC.Diffuse: lobes.diffuse_sample,
+    MC.Translucent: lobes.translucent_sample,
+    MC.Plastic: lobes.plastic_sample,
+    MC.Conductor: lobes.conductor_sample,
+    MC.Dielectric: lobes.dielectric_sample,
+    MC.Thinfilm: lobes.thinfilm_sample,
+    MC.Mirror: lobes.mirror_sample,
+    MC.Boundary: lobes.boundary_sample,
+    MC.Velvet: lobes.velvet_sample,
+}
+
+_EVALUATORS = {
+    MC.Diffuse: lobes.diffuse_evaluate,
+    MC.Translucent: lobes.translucent_evaluate,
+    MC.Plastic: lobes.plastic_evaluate,
+    MC.Conductor: lobes.conductor_evaluate,
+    MC.Dielectric: lobes.dielectric_evaluate,
+    MC.Velvet: lobes.velvet_evaluate,
+    # Mirror/Boundary/Thinfilm/Void are delta or null: evaluate -> 0
+}
+
+# number of random columns each sampler may consume:
+# 0,1 microfacet/cosine; 2 lobe select; 3,4 secondary direction;
+# 5 principled metalness pick; 6 principled transmission pick
+NUM_SAMPLE_RND = 7
+
+
+def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
+           classes: tuple) -> lobes.BSDFSampleR:
+  """bsdf::sample over the wavefront. `classes`: static material class set."""
+  r = sd.w_i.shape[0]
+  c = spx.channels(spectral)
+  result = lobes.BSDFSampleR(
+      w_o=sd.w_i, weight=jnp.zeros((r, c)), pdf=jnp.zeros(r),
+      eta=jnp.ones(r), is_delta=jnp.ones(r, bool),
+      is_diffuse=jnp.zeros(r, bool), is_reflection=jnp.zeros(r, bool),
+      medium=sd.medium)
+  for cls in classes:
+    if cls == MC.Principled:
+      out = _principled_sample(scene, sd, rnd, spectral)
+    elif cls in _SAMPLERS:
+      out = _SAMPLERS[cls](scene, sd, rnd, spectral)
+    else:  # Void
+      continue
+    result = _select_sample(sd.mat.cls == cls, out, result)
+  return result
+
+
+def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
+  """bsdf::evaluate: returns (bsdf_with_cos (R,C), pdf (R,))."""
+  r = sd.w_i.shape[0]
+  c = spx.channels(spectral)
+  bsdf = jnp.zeros((r, c))
+  pdf = jnp.zeros(r)
+  for cls in classes:
+    if cls == MC.Principled:
+      b, p = _principled_evaluate(scene, sd, w_o, spectral)
+    elif cls in _EVALUATORS:
+      b, p = _EVALUATORS[cls](scene, sd, w_o, spectral)
+    else:
+      continue
+    mask = sd.mat.cls == cls
+    bsdf = jnp.where(mask[..., None], b, bsdf)
+    pdf = jnp.where(mask, p, pdf)
+  return bsdf, pdf
+
+
+def pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
+  _, p = evaluate(scene, sd, w_o, spectral, classes)
+  return p
+
+
+def albedo(scene, sd: lobes.ShadingData, spectral: bool):
+  """bsdf::albedo — scattering color (conductor: reflectance)."""
+  scat = spx.query_spd(scene, sd.mat.scattering_spec, sd.wl, spectral)
+  refl = spx.query_spd(scene, sd.mat.reflectance_spec, sd.wl, spectral)
+  use_refl = (sd.mat.cls == MC.Conductor) | (sd.mat.cls == MC.Mirror)
+  return jnp.where(use_refl[..., None], refl, scat)
+
+
+def is_delta(sd: lobes.ShadingData):
+  """Static-material delta test (scene_bsdf.hxx is_delta dispatch)."""
+  rough_max = jnp.maximum(sd.mat.roughness[..., 0], sd.mat.roughness[..., 1])
+  cls = sd.mat.cls
+  rough_delta = rough_max <= lobes.kDeltaAlpha
+  always = (cls == MC.Mirror) | (cls == MC.Thinfilm) | (cls == MC.Void)
+  rough_classes = (cls == MC.Conductor) | (cls == MC.Dielectric)
+  return always | (rough_classes & rough_delta)
+
+
+# ---------------------------------------------------------------------------
+# Principled: deterministic conductor/dielectric/plastic mixture
+# ---------------------------------------------------------------------------
+
+
+def _principled_variants(scene, sd):
+  """Three material views with IORs overridden as the reference does."""
+  # conductor view: default conductor eta/k (constantish high-k metal)
+  mc = sd.mat._replace(
+      int_ior_cls=jnp.full_like(sd.mat.int_ior_cls, 2),  # CLASS_CONDUCTOR
+  )
+  sdc = sd._replace(mat=mc)
+  # dielectric/plastic view keeps the material's dielectric IOR
+  return sdc, sd
+
+
+def _principled_sample(scene, sd, rnd, spectral):
+  metal = sd.mat.metalness
+  trans = sd.mat.transmission
+  sdc, sdd = _principled_variants(scene, sd)
+  pick_metal = rnd[..., 5] < metal
+  pick_trans = rnd[..., 6] < trans
+  s_cond = lobes.conductor_sample(scene, sdc, rnd, spectral)
+  s_diel = lobes.dielectric_sample(scene, sdd, rnd, spectral)
+  s_plas = lobes.plastic_sample(scene, sdd, rnd, spectral)
+  non_metal = _select_sample(pick_trans, s_diel, s_plas)
+  return _select_sample(pick_metal, s_cond, non_metal)
+
+
+def _principled_evaluate(scene, sd, w_o, spectral):
+  metal = sd.mat.metalness
+  trans = sd.mat.transmission
+  sdc, sdd = _principled_variants(scene, sd)
+  b_c, p_c = lobes.conductor_evaluate(scene, sdc, w_o, spectral)
+  b_d, p_d = lobes.dielectric_evaluate(scene, sdd, w_o, spectral)
+  b_p, p_p = lobes.plastic_evaluate(scene, sdd, w_o, spectral)
+  w_c = metal
+  w_d = (1.0 - metal) * trans
+  w_p = (1.0 - metal) * (1.0 - trans)
+  bsdf = b_c * w_c[..., None] + b_d * w_d[..., None] + b_p * w_p[..., None]
+  p = p_c * w_c + p_d * w_d + p_p * w_p
+  return bsdf, p

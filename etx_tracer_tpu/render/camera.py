@@ -1,0 +1,110 @@
+"""Camera ray generation and film sampling (render/shared/scene_camera.hxx).
+
+Pixel convention: pixel (px, py) with py=0 at the BOTTOM row of the film
+arrays (matching the reference's NDC mapping u,v in [-1,1] with +v = up;
+film.cxx flips rows on splat). Image IO flips to top-down at save time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+
+
+def film_uv(px, py, width: int, height: int, jitter):
+  """Pixel + jitter -> NDC uv in [-1,1] (film.cxx:137-145)."""
+  u = (px.astype(jnp.float32) + 0.5 + jitter[..., 0]) / width * 2.0 - 1.0
+  v = (py.astype(jnp.float32) + 0.5 + jitter[..., 1]) / height * 2.0 - 1.0
+  return jnp.stack([u, v], axis=-1)
+
+
+class RayBundle(NamedTuple):
+  o: jnp.ndarray      # (R,3)
+  d: jnp.ndarray      # (R,3)
+  t_min: jnp.ndarray  # (R,)
+  t_max: jnp.ndarray  # (R,)
+
+
+def generate_ray(camera, uv: jnp.ndarray, lens_rnd: jnp.ndarray) -> RayBundle:
+  """Perspective camera ray for NDC uv (scene_camera.hxx:26-62)."""
+  r = uv.shape[0]
+  origin = jnp.broadcast_to(camera.position, (r, 3))
+  direction = camera.direction
+  s = uv[..., 0:1] * camera.side
+  u = uv[..., 1:2] * camera.up / camera.aspect
+  w_o = em.normalize(camera.tan_half_fov * (s + u) + direction)
+
+  # depth of field
+  use_dof = (camera.lens_radius > em.kEpsilon) & (camera.focal_distance > em.kEpsilon)
+  sensor = em.sample_disk(lens_rnd) * camera.lens_radius
+  dof_origin = origin + camera.side * sensor[..., 0:1] + camera.up * sensor[..., 1:2]
+  focal_t = camera.focal_distance / jnp.maximum(em.dot(w_o, direction), 1e-6)
+  focus_p = camera.position + focal_t[..., None] * w_o
+  dof_dir = em.normalize(focus_p - dof_origin)
+  origin = jnp.where(use_dof, dof_origin, origin)
+  w_o = jnp.where(use_dof, dof_dir, w_o)
+
+  cos_t = em.dot(w_o, direction)
+  t_near = jnp.where(camera.clip_near > 0.0, camera.clip_near / cos_t, em.kRayEpsilon)
+  t_far = jnp.where(camera.clip_far > 0.0, camera.clip_far / cos_t, em.kMaxFloat)
+  return RayBundle(origin, w_o, jnp.maximum(t_near, em.kRayEpsilon), t_far)
+
+
+class FilmSample(NamedTuple):
+  """Light->camera connection sample (scene_camera.hxx:64-118)."""
+  position: jnp.ndarray
+  normal: jnp.ndarray
+  direction: jnp.ndarray
+  uv: jnp.ndarray
+  weight: jnp.ndarray
+  pdf_dir: jnp.ndarray
+  valid: jnp.ndarray
+
+
+def sample_film(camera, from_point: jnp.ndarray, lens_rnd: jnp.ndarray) -> FilmSample:
+  """Connect a world point to the camera (used by light tracing/BDPT/VCM)."""
+  sensor = em.sample_disk(lens_rnd) * camera.lens_radius
+  use_dof = (camera.lens_radius > em.kEpsilon) & (camera.focal_distance > em.kEpsilon)
+  sensor = jnp.where(use_dof, sensor, 0.0)
+
+  position = camera.position + sensor[..., 0:1] * camera.side + sensor[..., 1:2] * camera.up
+  direction = position - from_point
+  normal = camera.direction
+  cos_t = -em.dot(direction, normal)
+  dist2 = em.dot(direction, direction)
+  dist = jnp.sqrt(jnp.maximum(dist2, 1e-30))
+  direction = direction / dist[..., None]
+  cos_t = cos_t / dist
+
+  focal = jnp.where(use_dof, camera.focal_distance, 1.0)
+  focus_point = position - direction * (focal / jnp.maximum(cos_t, 1e-6))[..., None]
+  ph = jnp.concatenate([focus_point, jnp.ones_like(focus_point[..., :1])], axis=-1)
+  projected = jnp.einsum("ij,...j->...i", camera.view_proj, ph)
+  w = projected[..., 3]
+  uv = projected[..., :2] / jnp.where(w == 0, 1.0, w)[..., None]
+
+  in_frustum = (w > 0.0) & (jnp.abs(uv[..., 0]) <= 1.0) & (jnp.abs(uv[..., 1]) <= 1.0)
+  valid = (cos_t > 0.0) & in_frustum
+
+  lens_area = jnp.where(camera.lens_radius > em.kEpsilon, em.kPi * em.sqr(camera.lens_radius), 1.0)
+  pdf_area = 1.0 / lens_area
+  pdf_dir = pdf_area * dist2 / jnp.maximum(cos_t, 1e-9)
+  pdf_dir_out = 1.0 / (camera.area * lens_area * jnp.maximum(cos_t, 1e-9) ** 3)
+  importance = pdf_dir_out / jnp.maximum(cos_t, 1e-9)
+  weight = importance / jnp.maximum(pdf_dir, 1e-30)
+  return FilmSample(
+      position=jnp.broadcast_to(position, from_point.shape),
+      normal=jnp.broadcast_to(normal, from_point.shape),
+      direction=direction, uv=uv,
+      weight=jnp.where(valid, weight, 0.0),
+      pdf_dir=jnp.where(valid, pdf_dir, 0.0),
+      valid=valid)
+
+
+def film_pdf_out(camera, to_point: jnp.ndarray) -> jnp.ndarray:
+  w_i = em.normalize(to_point - camera.position)
+  cos_t = em.dot(w_i, camera.direction)
+  return 1.0 / jnp.abs(camera.area * cos_t ** 3)

@@ -1,0 +1,90 @@
+"""Film: accumulation buffers as jnp arrays (render/host/film.cxx).
+
+Layers mirror the reference's storage (film.cxx:17-28): progressive camera
+mean, light-tracing splat image (+ per-iteration buffer), variance estimate
+for adaptive sampling, normals and albedo for denoising. Accumulation is a
+running mean (film.cxx:173-231); light splats are scatter-adds — the TPU
+equivalent of atomic_add_float (film.cxx:147-171).
+
+Row convention: row index py=0 is the BOTTOM of the image (NDC v=-1);
+image IO flips at save.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class FilmState(NamedTuple):
+  camera: jnp.ndarray          # (H,W,3) running mean
+  variance_half: jnp.ndarray   # (H,W,3) mean of every-other samples (noise estimate)
+  normals: jnp.ndarray         # (H,W,3)
+  albedo: jnp.ndarray          # (H,W,3)
+  light: jnp.ndarray           # (H,W,3) averaged light-tracing image
+  light_iteration: jnp.ndarray  # (H,W,3) current light iteration splats
+  iteration: jnp.ndarray       # () int32 completed iterations
+
+
+def allocate(width: int, height: int) -> FilmState:
+  z = jnp.zeros((height, width, 3), jnp.float32)
+  return FilmState(z, z, z, z, z, z, jnp.zeros((), jnp.int32))
+
+
+def accumulate_camera(state: FilmState, colors, normals, albedos) -> FilmState:
+  """Running-mean accumulation of one full-film iteration.
+
+  colors/normals/albedos: (H,W,3) for this iteration's samples.
+  """
+  it = state.iteration
+  t = 1.0 / (it.astype(jnp.float32) + 1.0)
+  cam = state.camera + (colors - state.camera) * t
+  nrm = state.normals + (normals - state.normals) * t
+  alb = state.albedo + (albedos - state.albedo) * t
+  # variance estimator: accumulate only even iterations at double weight
+  use = (it % 2) == 0
+  t2 = jnp.where(use, 2.0 / (it.astype(jnp.float32) + 2.0), 0.0)
+  vh = state.variance_half + (colors - state.variance_half) * t2
+  return state._replace(camera=cam, normals=nrm, albedo=alb,
+                        variance_half=vh, iteration=it + 1)
+
+
+def splat_light(state: FilmState, ndc_uv, values) -> FilmState:
+  """Scatter-add light-tracing contributions into the iteration buffer.
+
+  ndc_uv: (R,2) in [-1,1]; values: (R,3).
+  """
+  h, w, _ = state.light_iteration.shape
+  uv = ndc_uv * 0.5 + 0.5
+  x = (uv[..., 0] * w).astype(jnp.int32)
+  y = (uv[..., 1] * h).astype(jnp.int32)
+  ok = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+  x = jnp.clip(x, 0, w - 1)
+  y = jnp.clip(y, 0, h - 1)
+  vals = jnp.where(ok[..., None], values, 0.0)
+  li = state.light_iteration.at[y, x].add(vals)
+  return state._replace(light_iteration=li)
+
+
+def commit_light_iteration(state: FilmState) -> FilmState:
+  """Fold the per-iteration splat buffer into the averaged light image
+  (film.cxx:332-343)."""
+  it = state.iteration
+  t = 1.0 / (it.astype(jnp.float32) + 1.0)
+  light = state.light + (state.light_iteration - state.light) * t
+  return state._replace(light=light,
+                        light_iteration=jnp.zeros_like(state.light_iteration))
+
+
+def result_image(state: FilmState) -> jnp.ndarray:
+  """Camera + light layers combined (film.cxx:398-405)."""
+  return state.camera + state.light
+
+
+def noise_estimate(state: FilmState) -> jnp.ndarray:
+  """Per-pixel relative deviation between the full and half accumulators
+  (adaptive sampling driver, film.cxx:233-330)."""
+  lum_full = jnp.sum(state.camera * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
+  lum_half = jnp.sum(state.variance_half * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
+  return jnp.abs(lum_full - lum_half) / jnp.maximum(jnp.abs(lum_full), 1e-4)

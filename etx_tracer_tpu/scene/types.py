@@ -188,6 +188,11 @@ class DeviceScene(NamedTuple):
   images: ImageBank
   spec_values: jnp.ndarray  # (S,441) float32 SPD bank
   spec_rgb: jnp.ndarray     # (S,3) float32 integrated RGB per SPD
+  # packed row tables for MXU one-hot lookups (scene/packed.py)
+  mat_table: jnp.ndarray    # (M, F)
+  tri_table: jnp.ndarray    # (T, 39)
+  em_table: jnp.ndarray     # (E, 6)
+  prof_table: jnp.ndarray   # (P, 9)
   # camera & world
   camera: Camera
   bsphere_center: jnp.ndarray  # (3,)
@@ -214,3 +219,7 @@ class SceneConfig:
   # default-material spectrum indices (scene.hxx:47-56)
   black_spectrum: int = 0
   white_spectrum: int = 1
+  # material classes present (static -> dispatch compiles only these lobes)
+  material_classes: tuple = (0,)
+  # static environment-emitter count (compiled loop bound)
+  num_env_emitters: int = 0

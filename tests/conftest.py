@@ -7,7 +7,9 @@ real-TPU runs happen in bench.py and the driver's dryrun.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the shell pre-sets JAX_PLATFORMS (e.g. axon TPU):
+# tests validate semantics; TPU runs happen in bench.py / the driver.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,133 @@
+"""Headless command-line renderer.
+
+The app-layer replacement for the reference's interactive raytracer
+(sources/raytracer/) in headless form: load a scene (JSON/OBJ), render with
+a chosen integrator, write EXR/PNG, optionally compare against a reference
+image (the viewer's diff modes, raytracer/options.hxx:9-18).
+
+Usage:
+  python -m etx_tracer_tpu.cli render scene.json -o out.exr [--spp N]
+      [--integrator pt|debug] [--size WxH] [--spectral] [--aov normals]
+  python -m etx_tracer_tpu.cli compare a.exr b.exr
+  python -m etx_tracer_tpu.cli cornell -o out.png   (built-in sample scene)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load(path, args):
+  from etx_tracer_tpu.scene import json_scene
+  b = json_scene.load_scene(path)
+  if args.size:
+    w, h = args.size.lower().split("x")
+    b.film_size = (int(w), int(h))
+  if args.spp:
+    b.samples = args.spp
+  if args.spectral:
+    b.spectral = True
+  if args.max_path:
+    b.max_path_length = args.max_path
+  return b.build()
+
+
+def cmd_render(args):
+  import numpy as np
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render import film as film_mod
+  from etx_tracer_tpu.utils import image_io
+
+  scene, config = _load(args.scene, args)
+  print(f"[etx-tpu] scene loaded: {int(scene.tri_idx.shape[0])} triangles, "
+        f"{config.film_width}x{config.film_height}, {config.samples} spp, "
+        f"classes={config.material_classes}", file=sys.stderr)
+
+  if args.integrator == "debug":
+    from etx_tracer_tpu.models import debug as debug_mod
+    mode = getattr(debug_mod.DebugMode, args.aov.capitalize(), debug_mod.DebugMode.Normals)
+    img = np.asarray(debug_mod.render_debug(scene, config, mode))
+  else:
+    t0 = time.time()
+    fs = path_tracing.render(scene, config, iterations=args.spp or config.samples)
+    img = np.asarray(film_mod.result_image(fs))
+    print(f"[etx-tpu] rendered in {time.time() - t0:.1f}s", file=sys.stderr)
+
+  out = args.output or "out.exr"
+  if out.endswith(".png"):
+    image_io.save_png(out, img)
+  else:
+    image_io.save_exr(out, img)
+  print(f"[etx-tpu] wrote {out}", file=sys.stderr)
+
+  if args.reference:
+    ref = image_io.load_exr(args.reference)
+    r = image_io.rmse(ref, img[::-1])
+    print(json.dumps({"rmse_vs_reference": r}))
+
+
+def cmd_cornell(args):
+  import numpy as np
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render import film as film_mod
+  from etx_tracer_tpu.scene import cornell
+  from etx_tracer_tpu.utils import image_io
+
+  size = tuple(int(x) for x in (args.size or "512x512").lower().split("x"))
+  b = cornell.build_cornell_box(film_size=size, samples=args.spp or 32,
+                                spectral=args.spectral)
+  scene, config = b.build()
+  t0 = time.time()
+  fs = path_tracing.render(scene, config)
+  img = np.asarray(film_mod.result_image(fs))
+  print(f"[etx-tpu] cornell {size[0]}x{size[1]} @ {config.samples}spp in "
+        f"{time.time() - t0:.1f}s", file=sys.stderr)
+  out = args.output or "cornell.png"
+  (image_io.save_png if out.endswith(".png") else image_io.save_exr)(out, img)
+  print(f"[etx-tpu] wrote {out}", file=sys.stderr)
+
+
+def cmd_compare(args):
+  from etx_tracer_tpu.utils import image_io
+  a = image_io.load_exr(args.a)
+  b = image_io.load_exr(args.b)
+  print(json.dumps({"rmse": image_io.rmse(a, b)}))
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser(prog="etx-tpu")
+  sub = p.add_subparsers(dest="cmd", required=True)
+
+  pr = sub.add_parser("render")
+  pr.add_argument("scene")
+  pr.add_argument("-o", "--output", default=None)
+  pr.add_argument("--spp", type=int, default=None)
+  pr.add_argument("--size", default=None)
+  pr.add_argument("--max-path", type=int, default=None, dest="max_path")
+  pr.add_argument("--spectral", action="store_true")
+  pr.add_argument("--integrator", default="pt", choices=["pt", "debug"])
+  pr.add_argument("--aov", default="normals")
+  pr.add_argument("--reference", default=None)
+  pr.set_defaults(fn=cmd_render)
+
+  pc = sub.add_parser("cornell")
+  pc.add_argument("-o", "--output", default=None)
+  pc.add_argument("--spp", type=int, default=None)
+  pc.add_argument("--size", default=None)
+  pc.add_argument("--spectral", action="store_true")
+  pc.set_defaults(fn=cmd_cornell)
+
+  pm = sub.add_parser("compare")
+  pm.add_argument("a")
+  pm.add_argument("b")
+  pm.set_defaults(fn=cmd_compare)
+
+  args = p.parse_args(argv)
+  args.fn(args)
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,99 @@
+"""Debug integrator: single-bounce AOV visualizations.
+
+Counterpart of CPUDebugIntegrator (rt/integrators/debug.cxx:28-46) — the
+geometry/shading oracle used to validate loaders and shading frames.
+One camera trace per pixel, no light transport.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+from etx_tracer_tpu.core import rng
+from etx_tracer_tpu.models import path_tracing as pt
+from etx_tracer_tpu.ops import trace as trace_ops
+from etx_tracer_tpu.render import bsdf as bsdf_mod
+from etx_tracer_tpu.render import spectral as spx
+from etx_tracer_tpu.render.bsdf import dispatch as bsdf_dispatch
+from etx_tracer_tpu.render.bsdf.lobes import ShadingData
+
+
+class DebugMode:
+  Barycentrics = 0
+  Normals = 1
+  Tangents = 2
+  Bitangents = 3
+  TexCoords = 4
+  GeometricNormals = 5
+  FaceOrientation = 6
+  Depth = 7
+  MaterialIndex = 8
+  Albedo = 9
+  Fresnel = 10
+  EmitterIndex = 11
+  Count = 12
+
+
+@functools.partial(jax.jit, static_argnames=("config", "mode"))
+def render_debug(scene, config, mode: int = DebugMode.Normals):
+  """Render one AOV image (H, W, 3)."""
+  w, h = config.film_width, config.film_height
+  state = pt.make_lane_payload(scene, config,
+                               jnp.arange(w * h, dtype=jnp.int32), w * h)
+  hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d, state.t_min, state.t_max)
+  found = hit.found
+  pos, nrm, tan, btn, uv, bc, tri, trows = pt._interpolate_hit(scene, hit, state.ray_d)
+  mat = pt._gather_mat(scene, trows.mat)
+
+  if mode == DebugMode.Barycentrics:
+    img = bc
+  elif mode == DebugMode.Normals:
+    img = nrm * 0.5 + 0.5
+  elif mode == DebugMode.Tangents:
+    img = tan * 0.5 + 0.5
+  elif mode == DebugMode.Bitangents:
+    img = btn * 0.5 + 0.5
+  elif mode == DebugMode.TexCoords:
+    img = jnp.concatenate([uv, jnp.zeros_like(uv[..., :1])], axis=-1)
+  elif mode == DebugMode.GeometricNormals:
+    img = trows.geo_n * 0.5 + 0.5
+  elif mode == DebugMode.FaceOrientation:
+    front = em.dot(trows.geo_n, state.ray_d) < 0.0
+    base = 0.5 + 0.5 * jnp.abs(em.dot(trows.geo_n, state.ray_d))
+    img = jnp.where(front[..., None],
+                    jnp.stack([base * 0.2, base, base * 0.2], axis=-1),
+                    jnp.stack([base, base * 0.2, base * 0.2], axis=-1))
+  elif mode == DebugMode.Depth:
+    d = jnp.where(found, hit.t, 0.0)
+    img = jnp.stack([d, d, d], axis=-1) / jnp.maximum(2.0 * scene.bsphere_radius, 1e-6)
+  elif mode == DebugMode.MaterialIndex:
+    mi = trows.mat.astype(jnp.float32)
+    img = jnp.stack([jnp.sin(mi * 2.1) * 0.5 + 0.5,
+                     jnp.sin(mi * 3.7 + 1.0) * 0.5 + 0.5,
+                     jnp.sin(mi * 5.3 + 2.0) * 0.5 + 0.5], axis=-1)
+  elif mode == DebugMode.Albedo:
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+    alb = bsdf_dispatch.albedo(scene, sd, config.spectral)
+    img = spx.to_film_rgb(alb, state.wl, config.spectral)
+  elif mode == DebugMode.Fresnel:
+    from etx_tracer_tpu.render.bsdf.lobes import _fresnel_at
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+    f = _fresnel_at(scene, sd, em.dot(state.ray_d, nrm), config.spectral)
+    img = spx.to_film_rgb(f, state.wl, config.spectral)
+  elif mode == DebugMode.EmitterIndex:
+    e = (trows.emitter >= 0).astype(jnp.float32)
+    img = jnp.stack([e, e, jnp.zeros_like(e)], axis=-1)
+  else:
+    img = jnp.zeros((w * h, 3))
+
+  img = jnp.where(found[..., None], img, 0.0)
+  return img.reshape(h, w, 3)

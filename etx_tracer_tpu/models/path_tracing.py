@@ -166,6 +166,76 @@ def _gather_mat(scene, mat_idx):
   return packed.unpack_material_rows(gops.take_rows(scene.mat_table, mat_idx))
 
 
+def _trace_transmittance(scene, config, rng_state, medium, from_pos, to_pos,
+                         wl, spectral):
+  """Transmittance along a shadow segment (rt.cxx:468-579 semantics).
+
+  Walks the segment with up to K sequential traces: Boundary-material hits
+  switch the active medium and accumulate per-segment medium transmittance;
+  any other hit blocks the segment. Bounded `lax.while_loop` over the
+  wavefront.
+  """
+  from etx_tracer_tpu.render import media as media_mod
+  from etx_tracer_tpu.scene import packed
+  from etx_tracer_tpu.ops import gather as gops
+
+  r = from_pos.shape[0]
+  c = spx.channels(spectral)
+  direction = em.normalize(to_pos - from_pos)
+  total_dist = em.length(to_pos - from_pos)
+
+  max_segments = 16
+
+  def cond(carry):
+    rng_state, cur, traveled, med, tr, active, it = carry
+    return jnp.any(active) & (it < max_segments)
+
+  def body(carry):
+    rng_state, cur, traveled, med, tr, active, it = carry
+    remaining = jnp.maximum(total_dist - traveled, 0.0)
+    seg_max = jnp.where(active, remaining * (1.0 - 1e-3), 0.0)
+    hit = trace_ops.trace_closest(scene, cur, direction, jnp.full(r, em.kRayEpsilon), seg_max)
+    seg_len = jnp.where(hit.found, hit.t, remaining)
+
+    mv = media_mod.gather_medium(scene, med, wl, spectral)
+    seg_tr, rng_state = media_mod.transmittance(
+        scene, mv, wl, rng_state, cur, direction, jnp.where(active, seg_len, 0.0), spectral)
+    tr = jnp.where(active[..., None], tr * seg_tr, tr)
+
+    tri = jnp.maximum(hit.tri, 0)
+    trows = packed.TriRows(gops.take_rows(scene.tri_table, tri))
+    mat_cls = gops.take_rows(
+        scene.mat_table[:, packed.mat_column("cls"):packed.mat_column("cls") + 1],
+        trows.mat)[:, 0].astype(jnp.int32)
+    is_boundary = hit.found & (mat_cls == MC.Boundary)
+    blocked = hit.found & ~is_boundary
+    tr = jnp.where((active & blocked)[..., None], 0.0, tr)
+
+    # boundary: switch medium by crossing side and continue
+    int_m = gops.take_rows(
+        scene.mat_table[:, packed.mat_column("int_medium"):packed.mat_column("int_medium") + 1],
+        trows.mat)[:, 0].astype(jnp.int32)
+    ext_m = gops.take_rows(
+        scene.mat_table[:, packed.mat_column("ext_medium"):packed.mat_column("ext_medium") + 1],
+        trows.mat)[:, 0].astype(jnp.int32)
+    entering = em.dot(trows.geo_n, direction) < 0.0
+    new_med = jnp.where(entering, int_m, ext_m)
+    med = jnp.where(active & is_boundary, new_med, med)
+
+    cur = jnp.where((active & is_boundary)[..., None],
+                    em.offset_ray(cur + direction * hit.t[..., None],
+                                  trows.geo_n * jnp.where(em.dot(trows.geo_n, direction) >= 0, 1.0, -1.0)[..., None]),
+                    cur)
+    traveled = jnp.where(active & is_boundary, traveled + hit.t, traveled)
+    active = active & is_boundary
+    return rng_state, cur, traveled, med, tr, active, it + 1
+
+  carry = (rng_state, from_pos, jnp.zeros(r), medium, jnp.ones((r, c)),
+           jnp.ones(r, bool), jnp.int32(0))
+  rng_state, _, _, _, tr, _, _ = jax.lax.while_loop(cond, body, carry)
+  return tr, rng_state
+
+
 def pt_step(scene, config, state: PTState) -> PTState:
   """One wavefront bounce (run_path_iteration, path_tracing_shared.hxx:485)."""
   spectral = config.spectral
@@ -181,12 +251,52 @@ def pt_step(scene, config, state: PTState) -> PTState:
   accumulated = state.accumulated
   throughput = state.throughput
 
+  # ------------------------------------------------- medium free path
+  # try_sampling_medium + handle_sampled_medium (path_tracing_shared:259-296)
+  medium_event = jnp.zeros(r, bool)
+  if config.has_media:
+    from etx_tracer_tpu.render import media as media_mod
+    mv = media_mod.gather_medium(scene, state.medium, state.wl, spectral)
+    seg_t = jnp.where(found, hit.t, 2.0 * scene.bsphere_radius * 100.0)
+    seg_t = jnp.where(state.alive & mv.valid, seg_t, 0.0)
+    msample, rng_state = media_mod.sample_medium(
+        scene, mv, state.wl, throughput, rng_state, state.ray_o, state.ray_d,
+        jnp.maximum(seg_t, em.kRayEpsilon), spectral)
+    in_medium = state.alive & mv.valid & (seg_t > 0.0)
+    throughput = jnp.where(in_medium[..., None], throughput * msample.weight, throughput)
+    medium_event = in_medium & msample.sampled
+
+    # NEE from the medium point with phase MIS (:275-285)
+    rng_state, m_rnd_sel = rng.next_float(rng_state)
+    rng_state, m_rnd_em = rng.next_2d(rng_state)
+    m_em_idx, _ = emitters_mod.sample_emitter_index(scene, m_rnd_sel)
+    m_esmp = emitters_mod.sample_emitter(scene, m_em_idx, m_rnd_em, msample.pos, state.wl, spectral)
+    m_tr, rng_state = _trace_transmittance(
+        scene, config, rng_state, state.medium, msample.pos, m_esmp.origin,
+        state.wl, spectral)
+    phase = media_mod.phase_hg(state.ray_d, m_esmp.direction, mv.phase_g)
+    m_w = jnp.where(m_esmp.is_delta, 1.0,
+                    em.power_heuristic(m_esmp.pdf_dir * m_esmp.pdf_sample, phase))
+    m_denom = m_esmp.pdf_dir * m_esmp.pdf_sample
+    m_ok = (medium_event & mv.explicit_connections & (m_denom > 0.0)
+            & (state.path_length + 1 <= config.max_path_length))
+    m_contrib = m_esmp.value * m_tr * (phase * m_w / jnp.maximum(m_denom, 1e-20))[..., None]
+    accumulated = accumulated + jnp.where(m_ok[..., None], throughput * m_contrib, 0.0)
+
+    # phase-function continuation
+    rng_state, m_rnd_phase = rng.next_2d(rng_state)
+    phase_dir = media_mod.sample_phase_hg(state.ray_d, mv.phase_g, m_rnd_phase)
+    phase_pdf = media_mod.phase_hg(state.ray_d, phase_dir, mv.phase_g)
+
+    # lanes with a medium event skip surface handling this step
+    found = found & ~medium_event
+
   # ---------------------------------------------------------------- miss
   if config.num_env_emitters > 0:
     env = emitters_mod.env_contribution(
         scene, state.ray_d, state.wl, state.path_length == 1, state.mis_flag,
         state.bsdf_pdf, config.num_env_emitters, spectral)
-    miss = state.alive & ~hit.found
+    miss = state.alive & ~hit.found & ~medium_event
     accumulated = accumulated + jnp.where(miss[..., None], throughput * env, 0.0)
 
   # ----------------------------------------------------------------- hit
@@ -233,16 +343,25 @@ def pt_step(scene, config, state: PTState) -> PTState:
     bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes)
     # shadow ray from offset shading position toward the emitter point
     sh_o = _shading_pos(trows.geo_n, pos, esmp.direction)
-    to_em = esmp.origin - sh_o
-    dist = em.length(to_em)
-    occluded = trace_ops.trace_occluded(
-        scene, sh_o, esmp.direction, jnp.full(r, em.kRayEpsilon),
-        jnp.maximum(dist * (1.0 - 1e-3), 0.0))
+    if config.has_media:
+      # transmittance through boundary interfaces + media (rt.cxx:468-579)
+      tr_nee, rng_state = _trace_transmittance(
+          scene, config, rng_state, state.medium, sh_o, esmp.origin,
+          state.wl, spectral)
+      vis_ok = jnp.max(tr_nee, axis=-1) > 0.0
+    else:
+      to_em = esmp.origin - sh_o
+      dist = em.length(to_em)
+      occluded = trace_ops.trace_occluded(
+          scene, sh_o, esmp.direction, jnp.full(r, em.kRayEpsilon),
+          jnp.maximum(dist * (1.0 - 1e-3), 0.0))
+      tr_nee = 1.0
+      vis_ok = ~occluded
     w_mis = jnp.where(esmp.is_delta, 1.0,
                       em.power_heuristic(esmp.pdf_dir * esmp.pdf_sample, bsdf_pdf_at))
     denom = esmp.pdf_dir * esmp.pdf_sample
-    contrib = bsdf_val * esmp.value * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
-    nee_ok = can_nee & (denom > 0.0) & ~occluded & (bsdf_pdf_at > 0.0)
+    contrib = bsdf_val * esmp.value * tr_nee * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
+    nee_ok = can_nee & (denom > 0.0) & vis_ok & (bsdf_pdf_at > 0.0)
     accumulated = accumulated + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
 
   # --- continuation ---
@@ -258,14 +377,28 @@ def pt_step(scene, config, state: PTState) -> PTState:
   new_mis = jnp.where(is_boundary, state.mis_flag, ~bs.is_delta)
   new_eta = jnp.where(is_boundary, state.eta, state.eta * bs.eta)
   new_len = state.path_length + jnp.where(is_boundary, 0, 1)
+  continue_ok = found
+  sample_ok = is_boundary | (bs.pdf > 0.0)
+
+  if config.has_media:
+    # medium-scatter lanes continue along the sampled phase direction
+    me = medium_event
+    new_d = jnp.where(me[..., None], phase_dir, new_d)
+    new_o = jnp.where(me[..., None], msample.pos, new_o)
+    new_medium = jnp.where(me, state.medium, new_medium)
+    new_bsdf_pdf = jnp.where(me, phase_pdf, new_bsdf_pdf)
+    new_mis = jnp.where(me, True, new_mis)
+    new_eta = jnp.where(me, state.eta, new_eta)
+    new_len = jnp.where(me, state.path_length + 1, new_len)
+    continue_ok = continue_ok | me
+    sample_ok = sample_ok | me
 
   # Russian roulette (not applied to boundary pass-through)
   rng_state, rr_rnd = rng.next_float(rng_state)
   cont, new_throughput = _random_continue(new_len, config.rr_start, new_eta, rr_rnd, new_throughput)
   cont = cont | is_boundary
 
-  sample_ok = is_boundary | (bs.pdf > 0.0)
-  alive = found & cont & sample_ok & (new_len <= config.max_path_length)
+  alive = continue_ok & cont & sample_ok & (new_len <= config.max_path_length)
 
   rays_traced = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32)) \
       + jnp.sum(nee_ok.astype(jnp.float32))

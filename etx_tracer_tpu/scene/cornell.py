@@ -51,13 +51,30 @@ def _box(builder, center, size, rotation_y_deg, material):
 
 def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
                       diffuse_only=False, max_path_length=1023,
-                      with_light=True):
-  """Stage the Cornell box; returns a SceneBuilder (call .build())."""
+                      with_light=True, fog_scattering=0.0, fog_g=0.0,
+                      fog_grid=None):
+  """Stage the Cornell box; returns a SceneBuilder (call .build()).
+
+  fog_scattering > 0 fills the scene with a homogeneous medium (the
+  cornellbox.mtl `et::medium` fog); fog_grid adds a heterogeneous density
+  grid over the box instead.
+  """
+  from etx_tracer_tpu.core import spectrum as _sp
+  from etx_tracer_tpu.scene.builder import MediumDesc
+
   b = SceneBuilder()
   b.samples = samples
   b.spectral = spectral
   b.max_path_length = max_path_length
   b.rr_start = 6
+
+  if fog_scattering > 0.0 or fog_grid is not None:
+    scat = b.add_spectrum(_sp.SpectralDistribution.rgb_reflectance(
+        np.full(3, fog_scattering if fog_scattering > 0.0 else 0.5, np.float32)))
+    b.camera_medium = b.add_medium(MediumDesc(
+        name="fog", cls=1 if fog_grid is None else 2,
+        scattering_spec=scat, phase_g=fog_g, grid=fog_grid,
+        bounds_min=(-1.0, 0.0, -1.0), bounds_max=(1.0, 2.0, 1.0)))
 
   # Kd values go through sRGB->linear like the reference MTL loader
   # (load_reflectance_spectrum, scene_representation.cxx:480-498)

@@ -1,0 +1,712 @@
+"""Vertex Connection and Merging (and BDPT / light tracing as sub-modes).
+
+TPU-native rebuild of the reference VCM (rt/integrators/vcm_cpu.cxx +
+rt/shared/vcm_shared.hxx): the same two-phase iteration and d_vcm/d_vc/d_vm
+MIS recurrences, restructured as fixed-shape wavefronts —
+
+- LIGHT PASS: one lane per light path; every bounce stores a vertex into a
+  per-lane slot array (replacing the mutex-guarded vertex append,
+  vcm_cpu.cxx:163-171) and splats a connection to the camera into the
+  light film (atomic_add -> scatter-add).
+- GRID BUILD: light vertices sort by spatial cell hash; cell ranges come
+  from searchsorted (the "sort-then-segment-gather" merge of the north
+  star) — replacing the parallel counting-sort (vcm_shared.cxx:49-152).
+- CAMERA PASS: one lane per pixel. Vertex connections are LANE-ALIGNED
+  (camera path i connects to light path i, as in the reference's
+  light_paths[state.global_index]) so they need no gathers; merging
+  gathers sorted vertices from the 8 neighbor cells with a bounded scan.
+
+Disabling merging yields BDPT ("BDPTFull" estimator family); disabling
+everything but connect-to-camera yields light tracing; camera-only modes
+reduce to the PT estimators (bidirectional.cxx:323-331 mode set).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+from etx_tracer_tpu.core import rng
+from etx_tracer_tpu.core import spectrum as spmod
+from etx_tracer_tpu.models import path_tracing as pt
+from etx_tracer_tpu.ops import gather as gops
+from etx_tracer_tpu.ops import trace as trace_ops
+from etx_tracer_tpu.render import camera as camera_mod
+from etx_tracer_tpu.render import emitters as emitters_mod
+from etx_tracer_tpu.render import film as film_mod
+from etx_tracer_tpu.render import spectral as spx
+from etx_tracer_tpu.render.bsdf import dispatch as bsdf_dispatch
+from etx_tracer_tpu.render.bsdf.lobes import ShadingData
+from etx_tracer_tpu.scene import packed
+from etx_tracer_tpu.scene.types import MaterialClass as MC
+
+
+@dataclasses.dataclass(frozen=True)
+class VCMOptions:
+  """VCMOptions (vcm_shared.cxx:30-47): strategy toggles + radius schedule."""
+  direct_hit: bool = True
+  connect_to_light: bool = True
+  connect_to_camera: bool = True
+  connect_vertices: bool = True
+  enable_merging: bool = True
+  enable_mis: bool = True
+  initial_radius: float = 0.0   # 0 -> 5*scene_radius/max_film_dim
+  radius_decay: int = 256
+  max_stored_vertices: int = 8
+
+
+def bdpt_options() -> VCMOptions:
+  """BDPT = VCM without merging (bidirectional.cxx BDPTFull analogue)."""
+  return VCMOptions(enable_merging=False)
+
+
+def light_tracing_options() -> VCMOptions:
+  # single-strategy estimator: MIS must be off (no competing techniques)
+  return VCMOptions(direct_hit=False, connect_to_light=False,
+                    connect_vertices=False, enable_merging=False,
+                    enable_mis=False)
+
+
+class VCMState(NamedTuple):
+  """VCMPathState wavefront (vcm_shared.hxx:150-198)."""
+  ray_o: jnp.ndarray
+  ray_d: jnp.ndarray
+  throughput: jnp.ndarray    # (R,C)
+  gathered: jnp.ndarray      # (R,C) camera-side accumulation
+  d_vcm: jnp.ndarray
+  d_vc: jnp.ndarray
+  d_vm: jnp.ndarray
+  eta: jnp.ndarray
+  medium: jnp.ndarray
+  path_depth: jnp.ndarray    # total_path_depth
+  path_distance: jnp.ndarray
+  rng_state: jnp.ndarray
+  wl: jnp.ndarray
+  alive: jnp.ndarray
+  delta_emitter: jnp.ndarray  # light paths only
+  local_emitter: jnp.ndarray
+
+
+class LightVertices(NamedTuple):
+  """Per-lane stored light vertices (VCMLightVertex, vcm_shared.hxx:170+)."""
+  pos: jnp.ndarray         # (R,V,3)
+  nrm: jnp.ndarray         # (R,V,3)
+  geo_n: jnp.ndarray       # (R,V,3)
+  w_i: jnp.ndarray         # (R,V,3)
+  tan: jnp.ndarray         # (R,V,3)
+  btn: jnp.ndarray         # (R,V,3)
+  uv: jnp.ndarray          # (R,V,2)
+  throughput: jnp.ndarray  # (R,V,C)
+  d_vcm: jnp.ndarray       # (R,V)
+  d_vc: jnp.ndarray        # (R,V)
+  d_vm: jnp.ndarray        # (R,V)
+  mat: jnp.ndarray         # (R,V) int32
+  path_length: jnp.ndarray  # (R,V) int32
+  valid: jnp.ndarray       # (R,V) bool
+
+
+def _alloc_vertices(r, v, c):
+  z3 = jnp.zeros((r, v, 3))
+  return LightVertices(
+      pos=z3, nrm=z3, geo_n=z3, w_i=z3, tan=z3, btn=z3,
+      uv=jnp.zeros((r, v, 2)), throughput=jnp.zeros((r, v, c)),
+      d_vcm=jnp.zeros((r, v)), d_vc=jnp.zeros((r, v)), d_vm=jnp.zeros((r, v)),
+      mat=jnp.zeros((r, v), jnp.int32), path_length=jnp.zeros((r, v), jnp.int32),
+      valid=jnp.zeros((r, v), bool))
+
+
+def _shading_data(scene, state, pos, nrm, tan, btn, uv, mat):
+  return ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=nrm, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+
+
+# ---------------------------------------------------------------------------
+# Light pass
+# ---------------------------------------------------------------------------
+
+
+def _generate_light_state(scene, config, n_paths, iteration, vc_weight):
+  """vcm_generate_emitter_state (vcm_shared.hxx:310-349)."""
+  r = n_paths
+  c = spx.channels(config.spectral)
+  idx = jnp.arange(r, dtype=jnp.uint32)
+  state = rng.seed(idx, jnp.full(r, iteration, jnp.uint32))
+  state, wl_rnd = rng.next_float(state)
+  wl = spmod.sample_wavelength(wl_rnd) if config.spectral else jnp.zeros(r)
+
+  state, rnd_sel = rng.next_float(state)
+  state, rnd_pos = rng.next_2d(state)
+  state, rnd_dir = rng.next_2d(state)
+  es = emitters_mod.sample_emission(scene, rnd_sel, rnd_pos, rnd_dir, wl, config.spectral)
+
+  cos_t = em.dot(es.direction, es.normal)
+  denom = es.pdf_dir * es.pdf_area * es.pdf_sample
+  throughput = es.value * (cos_t / jnp.maximum(denom, 1e-20))[..., None]
+  valid = (es.pdf_dir > 0.0) & (cos_t > 0.0)
+
+  origin = jnp.where(
+      (es.triangle_index >= 0)[..., None],
+      em.offset_ray(es.origin, es.geo_n * jnp.where(em.dot(es.geo_n, es.direction) >= 0, 1.0, -1.0)[..., None]),
+      es.origin)
+
+  d_vcm = jnp.where(es.is_distant, 1.0 / jnp.maximum(es.pdf_area, 1e-20),
+                    1.0 / jnp.maximum(es.pdf_dir, 1e-20))
+  d_vc = jnp.where(es.is_delta, 0.0,
+                   jnp.where(es.is_distant, 1.0, cos_t) / jnp.maximum(denom, 1e-20))
+  d_vm = d_vc * vc_weight
+
+  return VCMState(
+      ray_o=origin, ray_d=es.direction,
+      throughput=jnp.where(valid[..., None], throughput, 0.0),
+      gathered=jnp.zeros((r, c)),
+      d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
+      eta=jnp.ones(r), medium=es.medium_index,
+      path_depth=jnp.zeros(r, jnp.int32),
+      path_distance=jnp.zeros(r),
+      rng_state=state, wl=wl, alive=valid,
+      delta_emitter=es.is_delta, local_emitter=~es.is_distant)
+
+
+def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
+               vc_weight, vm_weight):
+  """Trace light subpaths; returns (vertices, light film splat uv+values, rng)."""
+  spectral = config.spectral
+  classes = config.material_classes
+  c = spx.channels(spectral)
+  v_slots = options.max_stored_vertices
+  state = _generate_light_state(scene, config, n_paths, iteration, vc_weight)
+  verts = _alloc_vertices(n_paths, v_slots, c)
+  splat_uv = jnp.zeros((n_paths, v_slots, 2))
+  splat_val = jnp.zeros((n_paths, v_slots, 3))
+
+  max_depth = min(config.max_path_length, v_slots)
+
+  def body(slot, carry):
+    state, verts, splat_uv, splat_val = carry
+    r = n_paths
+    t_max = jnp.where(state.alive, em.kMaxFloat, 0.0)
+    hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
+                                  jnp.full(r, em.kRayEpsilon), t_max)
+    found = hit.found & state.alive
+    pos, nrm, tan, btn, uv, bc, tri, trows = pt._interpolate_hit(scene, hit, state.ray_d)
+    mat = pt._gather_mat(scene, trows.mat)
+
+    # boundary handling: pass through (depth unchanged)
+    is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
+
+    # vcm_update_light_vcm (vcm_shared.hxx:451-461)
+    seg = state.path_distance + hit.t
+    scale_vcm = jnp.where((state.path_depth > 0) | state.local_emitter, em.sqr(seg), 1.0)
+    cos_prev = jnp.maximum(jnp.abs(em.dot(nrm, -state.ray_d)), 1e-6)
+    upd = found & ~is_boundary
+    d_vcm = jnp.where(upd, state.d_vcm * scale_vcm / cos_prev, state.d_vcm)
+    d_vc = jnp.where(upd, state.d_vc / cos_prev, state.d_vc)
+    d_vm = jnp.where(upd, state.d_vm / cos_prev, state.d_vm)
+    path_distance = jnp.where(upd, 0.0, state.path_distance)
+    state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm, path_distance=path_distance)
+
+    sd = _shading_data(scene, state, pos, nrm, tan, btn, uv, mat)
+    sd = sd._replace(geo_n=trows.geo_n)
+
+    is_delta_mat = bsdf_dispatch.is_delta(sd)
+    store = upd & ~is_delta_mat
+
+    def put(field, value):
+      m = store
+      while m.ndim < value.ndim:
+        m = m[..., None]
+      return field.at[:, slot].set(jnp.where(m, value, field[:, slot]))
+
+    verts = LightVertices(
+        pos=put(verts.pos, pos), nrm=put(verts.nrm, nrm),
+        geo_n=put(verts.geo_n, trows.geo_n),
+        w_i=put(verts.w_i, state.ray_d),
+        tan=put(verts.tan, tan), btn=put(verts.btn, btn),
+        uv=put(verts.uv, uv),
+        throughput=put(verts.throughput, state.throughput),
+        d_vcm=put(verts.d_vcm, state.d_vcm),
+        d_vc=put(verts.d_vc, state.d_vc),
+        d_vm=put(verts.d_vm, state.d_vm),
+        mat=put(verts.mat, trows.mat),
+        path_length=put(verts.path_length, state.path_depth + 1),
+        valid=verts.valid.at[:, slot].set(store))
+
+    # --- connect to camera (vcm_connect_to_camera, :463-536) ---
+    rng_state = state.rng_state
+    rng_state, lens_rnd = rng.next_2d(rng_state)
+    cam = camera_mod.sample_film(scene.camera, pos, lens_rnd)
+    w_o = cam.direction
+    bsdf_val, _ = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+    sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+    dist = em.length(cam.position - sh_o)
+    occluded = trace_ops.trace_occluded(
+        scene, sh_o, w_o, jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
+    dist2 = jnp.maximum(em.dot(cam.position - pos, cam.position - pos), 1e-12)
+    # pdf_dir_out of the camera (scene_camera.hxx:112); cam.weight encodes
+    # importance/pdf (scene_camera.hxx:108-116)
+    pdf_dir_out = 1.0 / jnp.maximum(
+        scene.camera.area * jnp.maximum(-em.dot(cam.direction, scene.camera.direction), 1e-9) ** 3, 1e-12)
+    camera_pdf_area = pdf_dir_out * jnp.abs(em.dot(nrm, w_o)) / dist2
+    w_light = camera_pdf_area * (vm_weight + state.d_vcm + state.d_vc * rev_pdf)
+    mis_w = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light), 1.0)
+    fix = bsdf_dispatch.fix_shading_normal(trows.geo_n, nrm, state.ray_d, w_o)
+    contrib = bsdf_val * state.throughput * (cam.weight * mis_w * fix)[..., None]
+    can_connect = (store & options.connect_to_camera & cam.valid & ~occluded
+                   & (state.path_depth + 2 <= config.max_path_length))
+    rgb = spx.to_film_rgb(contrib, state.wl, spectral)
+    n_img = float(n_paths)
+    rgb = rgb / n_img * (config.film_width * config.film_height)
+    splat_uv = splat_uv.at[:, slot].set(jnp.where(can_connect[..., None], cam.uv, -2.0))
+    splat_val = splat_val.at[:, slot].set(jnp.where(can_connect[..., None], rgb, 0.0))
+
+    # --- bsdf sample + vcm_next_ray (:219-283) ---
+    rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
+    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+    fixn = bsdf_dispatch.fix_shading_normal(trows.geo_n, nrm, state.ray_d, bs.w_o)
+    new_thr = state.throughput * bs.weight * fixn[..., None]
+    rng_state, rr_rnd = rng.next_float(rng_state)
+    new_depth = state.path_depth + 1
+    cont, new_thr = pt._random_continue(new_depth, config.rr_start, state.eta * bs.eta, rr_rnd, new_thr)
+
+    cos_bsdf = jnp.abs(em.dot(nrm, bs.w_o))
+    rev2 = bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
+    nd_vc = jnp.where(bs.is_delta, state.d_vc * cos_bsdf,
+                      (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
+                      * (state.d_vc * rev2 + state.d_vcm + vm_weight))
+    nd_vm = jnp.where(bs.is_delta, state.d_vm * cos_bsdf,
+                      (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
+                      * (state.d_vm * rev2 + state.d_vcm * vc_weight + 1.0))
+    nd_vcm = jnp.where(bs.is_delta, 0.0, 1.0 / jnp.maximum(bs.pdf, 1e-20))
+
+    new_o = pt._shading_pos(trows.geo_n, pos, bs.w_o)
+    surf_alive = upd & cont & (bs.pdf > 0.0) & (new_depth + 1 <= config.max_path_length) \
+        & (jnp.max(new_thr, axis=-1) > 0.0)
+
+    # boundary lanes: pass straight through
+    ent = em.dot(nrm, state.ray_d) < 0.0
+    b_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
+    b_o = pt._shading_pos(trows.geo_n, pos, state.ray_d)
+
+    state = state._replace(
+        ray_o=jnp.where(is_boundary[..., None], b_o, jnp.where(upd[..., None], new_o, state.ray_o)),
+        ray_d=jnp.where(upd[..., None], bs.w_o, state.ray_d),
+        throughput=jnp.where(upd[..., None], new_thr, state.throughput),
+        d_vcm=jnp.where(upd, nd_vcm, state.d_vcm),
+        d_vc=jnp.where(upd, nd_vc, state.d_vc),
+        d_vm=jnp.where(upd, nd_vm, state.d_vm),
+        eta=jnp.where(upd, state.eta * bs.eta, state.eta),
+        medium=jnp.where(is_boundary, b_medium, jnp.where(upd, bs.medium, state.medium)),
+        path_depth=jnp.where(upd, new_depth, state.path_depth),
+        path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
+        rng_state=rng_state,
+        alive=jnp.where(is_boundary, state.alive, surf_alive))
+    return state, verts, splat_uv, splat_val
+
+  state, verts, splat_uv, splat_val = jax.lax.fori_loop(
+      0, max_depth, body, (state, verts, splat_uv, splat_val))
+  return verts, splat_uv, splat_val, state
+
+
+# ---------------------------------------------------------------------------
+# Spatial hash grid: sort vertices by cell, ranges via searchsorted
+# ---------------------------------------------------------------------------
+
+
+class MergeGrid(NamedTuple):
+  sorted_cell: jnp.ndarray   # (N,) int32 cell id per sorted vertex
+  pos: jnp.ndarray           # (N,3)
+  nrm: jnp.ndarray           # (N,3)
+  w_i: jnp.ndarray           # (N,3)
+  d_vcm: jnp.ndarray         # (N,)
+  d_vm: jnp.ndarray          # (N,)
+  path_length: jnp.ndarray   # (N,) int32
+  throughput_rgb: jnp.ndarray  # (N,3) throughput/sampling_pdf in RGB
+  valid: jnp.ndarray         # (N,)
+  grid_min: jnp.ndarray      # (3,)
+  cell_size: jnp.ndarray     # ()
+  table_mask: int
+
+
+_HASH_MASK = (1 << 16) - 1
+
+
+def _cell_hash(ix, iy, iz):
+  """73856093/19349663/83492791 hash (vcm_shared.hxx:820-827)."""
+  h = (ix * jnp.int32(73856093)) ^ (iy * jnp.int32(19349663)) ^ (iz * jnp.int32(83492791))
+  return (h & jnp.int32(_HASH_MASK)).astype(jnp.int32)
+
+
+def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
+                     spectral: bool) -> MergeGrid:
+  """Flatten + sort light vertices by cell hash (SoA payloads,
+  vcm_shared.cxx:49-152 counting sort -> argsort + searchsorted)."""
+  r, v = verts.valid.shape
+  n = r * v
+
+  def flat(x):
+    return x.reshape((n,) + x.shape[2:])
+
+  pos = flat(verts.pos)
+  valid = flat(verts.valid)
+  cell_size = 2.0 * radius
+  grid_min = scene.bsphere_center - scene.bsphere_radius - 2.0 * radius
+  m = jnp.floor((pos - grid_min) / cell_size).astype(jnp.int32)
+  cell = _cell_hash(m[:, 0], m[:, 1], m[:, 2])
+  cell = jnp.where(valid, cell, jnp.int32(_HASH_MASK + 1))  # invalid sort last
+
+  order = jnp.argsort(cell)
+
+  thr = flat(verts.throughput)
+  if spectral:
+    # grid stores throughput/sampling_pdf projected to RGB with the
+    # luminance-basis scale (vcm_shared.hxx:873-877)
+    wl_v = jnp.repeat(wl_lanes, v)
+    thr_rgb = spx.to_film_rgb(thr, wl_v, True) * jnp.array([0.817660332, 1.05418909, 1.09945524])
+  else:
+    thr_rgb = thr
+
+  return MergeGrid(
+      sorted_cell=cell[order],
+      pos=pos[order],
+      nrm=flat(verts.nrm)[order],
+      w_i=flat(verts.w_i)[order],
+      d_vcm=flat(verts.d_vcm)[order],
+      d_vm=flat(verts.d_vm)[order],
+      path_length=flat(verts.path_length)[order],
+      throughput_rgb=thr_rgb[order],
+      valid=valid[order],
+      grid_min=grid_min, cell_size=jnp.asarray(cell_size),
+      table_mask=_HASH_MASK)
+
+
+def _segment_range(grid: MergeGrid, cell):
+  start = jnp.searchsorted(grid.sorted_cell, cell, side="left")
+  end = jnp.searchsorted(grid.sorted_cell, cell, side="right")
+  return start, end
+
+
+# Max vertices examined per neighbor cell. A static bound is required for
+# fixed shapes; with production radii (5*scene_r/max_dim at >=512px films)
+# per-cell occupancy stays far below this. Huge test radii can clip.
+_MERGE_SCAN = 32
+
+
+def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
+                 radius, vc_weight, options: VCMOptions, classes, spectral: bool):
+  """Photon gather over the 8 neighbor cells (vcm_shared.hxx:886-924).
+
+  Sorted-segment scan with a static per-cell bound; returns (R,3) RGB.
+  """
+  r = sd.w_i.shape[0]
+  pos = sd.tex * 0.0  # placeholder, overwritten below
+  pos = state.ray_o  # query position = current camera vertex position
+  m = (pos - grid.grid_min) / grid.cell_size
+  mf = jnp.floor(m)
+  md = m - mf
+  ac = mf.astype(jnp.int32)
+  bc = ac + jnp.where(md < 0.5, -1, 1)
+
+  t_cam_rgb = spx.to_film_rgb(state.throughput, state.wl, spectral)
+  w_cam_base = state.d_vcm * vc_weight
+  r2 = em.sqr(radius)
+
+  merged = jnp.zeros((r, 3))
+  for ci in range(8):
+    ix = bc[:, 0] if ci & 1 else ac[:, 0]
+    iy = bc[:, 1] if ci & 2 else ac[:, 1]
+    iz = bc[:, 2] if ci & 4 else ac[:, 2]
+    cell = _cell_hash(ix, iy, iz)
+    start, end = _segment_range(grid, cell)
+    for k in range(_MERGE_SCAN):
+      j = jnp.minimum(start + k, grid.pos.shape[0] - 1)
+      in_range = (start + k) < end
+      vpos = grid.pos[j]
+      d = vpos - pos
+      dist2 = em.dot(d, d)
+      ok = in_range & grid.valid[j] & (dist2 <= r2)
+      ok = ok & ((grid.path_length[j] + state.path_depth + 1) <= scene.max_path_length) \
+          if hasattr(scene, "max_path_length") else ok & (dist2 <= r2)
+      ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
+      w_in = grid.w_i[j]
+      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes)
+      rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
+      w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
+      w_camera = w_cam_base + state.d_vm * rev_pdf
+      weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
+      # Epanechnikov kernel (vcm_shared.hxx:863-868)
+      kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
+      cos_o = jnp.abs(em.dot(sd.nrm, -w_in))
+      # func = bsdf/cos_o (camera_bsdf.func in reference)
+      func = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
+      c_rgb = spx.to_film_rgb(func * state.throughput, state.wl, spectral)
+      contrib = c_rgb * grid.throughput_rgb[j] * (kern * weight)[..., None]
+      ok = ok & (bsdf_pdf > 0.0)
+      merged = merged + jnp.where(ok[..., None], contrib, 0.0)
+  return merged
+
+
+def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVertices,
+                grid, radius, vc_weight, vm_weight, vm_normalization):
+  """Camera subpaths with direct hit / NEE / vertex connections / merging
+  (vcm_camera_step, vcm_shared.hxx:927-1079)."""
+  spectral = config.spectral
+  classes = config.material_classes
+  w, h = config.film_width, config.film_height
+  r = w * h
+  c = spx.channels(spectral)
+
+  idx = jnp.arange(r, dtype=jnp.uint32)
+  rng_state = rng.seed(idx + jnp.uint32(0x9E3779B9), jnp.full(r, iteration, jnp.uint32))
+  rng_state, wl_rnd = rng.next_float(rng_state)
+  wl = spmod.sample_wavelength(wl_rnd) if spectral else jnp.zeros(r)
+  # match the light path wavelength for lane-aligned connections: reuse the
+  # light lane seeds (VCMLightPath.spect sharing, vcm_cpu.cxx:372-408)
+  l_state = rng.seed(idx, jnp.full(r, iteration, jnp.uint32))
+  l_state, l_wl_rnd = rng.next_float(l_state)
+  wl = spmod.sample_wavelength(l_wl_rnd) if spectral else jnp.zeros(r)
+
+  px = (idx % w).astype(jnp.int32)
+  py = (idx // w).astype(jnp.int32)
+  rng_state, jit_rnd = rng.next_2d(rng_state)
+  jitter = jnp.where(iteration == 0, 0.0, jit_rnd - 0.5)
+  uv = camera_mod.film_uv(px, py, w, h, jitter)
+  rng_state, lens_rnd = rng.next_2d(rng_state)
+  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+
+  film_pdf = camera_mod.film_pdf_out(scene.camera, rays.o + rays.d)
+  state = VCMState(
+      ray_o=rays.o, ray_d=rays.d,
+      throughput=jnp.ones((r, c)), gathered=jnp.zeros((r, c)),
+      d_vcm=1.0 / jnp.maximum(film_pdf, 1e-20), d_vc=jnp.zeros(r), d_vm=jnp.zeros(r),
+      eta=jnp.ones(r), medium=jnp.full(r, -1, jnp.int32),
+      path_depth=jnp.ones(r, jnp.int32), path_distance=jnp.zeros(r),
+      rng_state=rng_state, wl=wl, alive=jnp.ones(r, bool),
+      delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool))
+
+  merged_total = jnp.zeros((r, 3))
+  max_depth = min(config.max_path_length, options.max_stored_vertices + 2)
+
+  def body(step, carry):
+    state, merged_total = carry
+    t_max = jnp.where(state.alive, em.kMaxFloat, 0.0)
+    hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
+                                  jnp.full(r, em.kRayEpsilon), t_max)
+    found = hit.found & state.alive
+    pos, nrm, tan, btn, uvt, bcc, tri, trows = pt._interpolate_hit(scene, hit, state.ray_d)
+    mat = pt._gather_mat(scene, trows.mat)
+    is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
+    upd = found & ~is_boundary
+    rng_state = state.rng_state
+
+    # miss -> environment (vcm_cam_handle_miss, :537-585)
+    gathered = state.gathered
+    if config.num_env_emitters > 0:
+      env = emitters_mod.env_contribution(
+          scene, state.ray_d, state.wl, state.path_depth <= 1,
+          jnp.ones(r, bool), 1.0 / jnp.maximum(state.d_vcm, 1e-20),
+          config.num_env_emitters, spectral)
+      miss = state.alive & ~hit.found
+      gathered = gathered + jnp.where(miss[..., None], state.throughput * env, 0.0)
+
+    # vcm_update_camera_vcm (:589-595)
+    cos_prev = jnp.maximum(jnp.abs(em.dot(nrm, -state.ray_d)), 1e-6)
+    seg = state.path_distance + hit.t
+    d_vcm = jnp.where(upd, state.d_vcm * em.sqr(seg) / cos_prev, state.d_vcm)
+    d_vc = jnp.where(upd, state.d_vc / cos_prev, state.d_vc)
+    d_vm = jnp.where(upd, state.d_vm / cos_prev, state.d_vm)
+    state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
+                           path_distance=jnp.where(upd, 0.0, state.path_distance))
+
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uvt, wl=state.wl,
+                     medium=state.medium, mat=mat)
+
+    # --- direct emitter hit (vcm_handle_direct_hit + vcm_get_radiance) ---
+    if options.direct_hit:
+      emitter_idx = jnp.where(upd, trows.emitter, -1)
+      e_value, e_pdf_area, e_pdf_dir, e_pdf_dir_out = emitters_mod.area_radiance(
+          scene, emitter_idx, state.wl, state.ray_o, pos, uvt,
+          state.path_depth == 1, spectral)
+      e_disc = emitters_mod.discrete_pdf(scene, jnp.maximum(emitter_idx, 0))
+      w_camera = state.d_vcm * e_pdf_area * e_disc + state.d_vc * e_pdf_dir_out * e_disc
+      weight = jnp.where(options.enable_mis & (state.path_depth > 1),
+                         1.0 / (1.0 + w_camera), 1.0)
+      ok = upd & (e_pdf_dir > em.kEpsilon)
+      gathered = gathered + jnp.where(ok[..., None],
+                                      state.throughput * e_value * weight[..., None], 0.0)
+
+    # --- NEE (vcm_connect_to_light, :608-667) ---
+    if options.connect_to_light:
+      rng_state, rnd_sel = rng.next_float(rng_state)
+      rng_state, rnd_em = rng.next_2d(rng_state)
+      em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
+      esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral)
+      w_o = esmp.direction
+      b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+      rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+      sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+      dist = em.length(esmp.origin - sh_o)
+      occluded = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                          jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
+      denom = esmp.pdf_dir * esmp.pdf_sample
+      l_dot_e = jnp.maximum(jnp.abs(em.dot(esmp.direction, esmp.normal)), 1e-6)
+      cam_factor = jnp.abs(em.dot(w_o, trows.geo_n))
+      w_light = jnp.where(esmp.is_delta, 0.0, b_pdf / jnp.maximum(denom, 1e-20))
+      w_cam = (esmp.pdf_dir_out * cam_factor) / jnp.maximum(esmp.pdf_dir * l_dot_e, 1e-20) \
+          * (vm_weight + state.d_vcm + state.d_vc * rev)
+      weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_cam), 1.0)
+      ok = (upd & (denom > 0.0) & ~occluded & (b_pdf > 0.0)
+            & (state.path_depth + 1 <= config.max_path_length))
+      contrib = b_val * esmp.value * (weight / jnp.maximum(denom, 1e-20))[..., None]
+      gathered = gathered + jnp.where(ok[..., None], state.throughput * contrib, 0.0)
+
+    # --- lane-aligned vertex connections (vcm_connect_to_light_path) ---
+    if options.connect_vertices:
+      for vi in range(options.max_stored_vertices):
+        lv_pos = verts.pos[:, vi]
+        lv_nrm = verts.nrm[:, vi]
+        lv_geo = verts.geo_n[:, vi]
+        lv_wi = verts.w_i[:, vi]
+        lv_thr = verts.throughput[:, vi]
+        lv_valid = verts.valid[:, vi]
+        lv_mat = pt._gather_mat(scene, verts.mat[:, vi])
+        target_len = state.path_depth + verts.path_length[:, vi] + 1
+        d = lv_pos - pos
+        dist2 = jnp.maximum(em.dot(d, d), 1e-12)
+        w_o = d / jnp.sqrt(dist2)[..., None]
+        # camera side
+        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+        c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+        # light side
+        lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
+                          tan=verts.tan[:, vi], btn=verts.btn[:, vi],
+                          geo_n=lv_geo, tex=verts.uv[:, vi], wl=state.wl,
+                          medium=state.medium, mat=lv_mat)
+        lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes)
+        l_rev = bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
+        w_dot_l = -em.dot(lv_nrm, w_o)
+        w_dot_c = em.dot(nrm, w_o)
+        cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
+        light_area_pdf = lb_pdf * jnp.abs(w_dot_c) / dist2
+        w_light = cam_area_pdf * (vm_weight + verts.d_vcm[:, vi] + verts.d_vc[:, vi] * l_rev)
+        w_camera = light_area_pdf * (vm_weight + state.d_vcm + state.d_vc * c_rev)
+        weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
+        fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
+        sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+        seg_len = em.length(lv_pos - sh_o)
+        occ = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                       jnp.full(r, em.kRayEpsilon), seg_len * (1.0 - 1e-3))
+        ok = (upd & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
+              & (target_len + 1 <= config.max_path_length))
+        contrib = (cb_val * state.throughput) * (lb_val * lv_thr) \
+            * (weight * fix / dist2)[..., None]
+        gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
+
+    # --- merging (photon gather) ---
+    if options.enable_merging:
+      mstate = state._replace(ray_o=pos)
+      merged = merge_gather(scene, grid, sd, mstate, radius, vc_weight,
+                            options, classes, spectral)
+      merged_total = merged_total + jnp.where(upd[..., None], merged, 0.0)
+
+    # --- continue: bsdf sample + recurrences ---
+    rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
+    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+    new_thr = state.throughput * bs.weight
+    rng_state, rr_rnd = rng.next_float(rng_state)
+    new_depth = state.path_depth + 1
+    cont, new_thr = pt._random_continue(new_depth, config.rr_start,
+                                        state.eta * bs.eta, rr_rnd, new_thr)
+    cos_bsdf = jnp.abs(em.dot(nrm, bs.w_o))
+    rev2 = bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
+    nd_vc = jnp.where(bs.is_delta, state.d_vc * cos_bsdf,
+                      (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
+                      * (state.d_vc * rev2 + state.d_vcm + vm_weight))
+    nd_vm = jnp.where(bs.is_delta, state.d_vm * cos_bsdf,
+                      (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
+                      * (state.d_vm * rev2 + state.d_vcm * vc_weight + 1.0))
+    nd_vcm = jnp.where(bs.is_delta, 0.0, 1.0 / jnp.maximum(bs.pdf, 1e-20))
+    new_o = pt._shading_pos(trows.geo_n, pos, bs.w_o)
+
+    ent = em.dot(nrm, state.ray_d) < 0.0
+    b_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
+    b_o = pt._shading_pos(trows.geo_n, pos, state.ray_d)
+
+    surf_alive = upd & cont & (bs.pdf > 0.0) & (new_depth <= config.max_path_length) \
+        & (jnp.max(new_thr, axis=-1) > 0.0)
+
+    state = state._replace(
+        ray_o=jnp.where(is_boundary[..., None], b_o, jnp.where(upd[..., None], new_o, state.ray_o)),
+        ray_d=jnp.where(upd[..., None], bs.w_o, state.ray_d),
+        throughput=jnp.where(upd[..., None], new_thr, state.throughput),
+        gathered=gathered,
+        d_vcm=jnp.where(upd, nd_vcm, state.d_vcm),
+        d_vc=jnp.where(upd, nd_vc, state.d_vc),
+        d_vm=jnp.where(upd, nd_vm, state.d_vm),
+        eta=jnp.where(upd, state.eta * bs.eta, state.eta),
+        medium=jnp.where(is_boundary, b_medium, jnp.where(upd, bs.medium, state.medium)),
+        path_depth=jnp.where(upd, new_depth, state.path_depth),
+        path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
+        rng_state=rng_state,
+        alive=jnp.where(is_boundary, state.alive, surf_alive))
+    return state, merged_total
+
+  state, merged_total = jax.lax.fori_loop(0, max_depth, body, (state, merged_total))
+
+  gathered_rgb = spx.to_film_rgb(state.gathered, state.wl, spectral)
+  return gathered_rgb + merged_total * vm_normalization
+
+
+@functools.partial(jax.jit, static_argnames=("config", "options"))
+def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
+  """One full VCM iteration: light pass -> grid -> camera pass -> film."""
+  w, h = config.film_width, config.film_height
+  npix = w * h
+
+  # radius schedule (vcm_cpu.cxx:95-113)
+  base_radius = options.initial_radius if options.initial_radius > 0.0 else None
+  if base_radius is None:
+    radius0 = 5.0 * scene.bsphere_radius / float(max(w, h))
+  else:
+    radius0 = jnp.asarray(base_radius)
+  radius = radius0 / (1.0 + iteration.astype(jnp.float32) / options.radius_decay) \
+      if hasattr(iteration, "astype") else radius0 / (1.0 + iteration / options.radius_decay)
+  eta_vcm = em.kPi * em.sqr(radius) * npix
+  vc_weight = 1.0 / eta_vcm
+  vm_weight = eta_vcm if options.enable_merging else 0.0
+  vm_normalization = 1.0 / eta_vcm
+
+  verts, splat_uv, splat_val, l_state = light_pass(
+      scene, config, options, iteration, npix, vc_weight, vm_weight)
+
+  grid = build_merge_grid(scene, verts, l_state.wl, radius, config.spectral) \
+      if options.enable_merging else None
+
+  camera_rgb = camera_pass(scene, config, options, iteration, verts, grid,
+                           radius, vc_weight, vm_weight, vm_normalization)
+
+  # splat light-tracing contributions, then fold the iteration
+  film_state = film_mod.splat_light(
+      film_state,
+      splat_uv.reshape(-1, 2),
+      splat_val.reshape(-1, 3))
+  film_state = film_mod.commit_light_iteration(film_state)
+  colors = camera_rgb.reshape(h, w, 3)
+  zero = jnp.zeros((h, w, 3))
+  return film_mod.accumulate_camera(film_state, colors, zero, zero)
+
+
+def render(scene, config, options: VCMOptions | None = None, iterations: int | None = None):
+  options = options or VCMOptions()
+  n = config.samples if iterations is None else iterations
+  fs = film_mod.allocate(config.film_width, config.film_height)
+  for i in range(n):
+    fs = render_iteration(scene, config, options, fs, i)
+  return fs

@@ -104,6 +104,24 @@ def pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
   return p
 
 
+def reverse_pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
+  """pdf of sampling the reverse direction (scene_bsdf.hxx:80-90)."""
+  rev_sd = sd._replace(w_i=-w_o)
+  return pdf(scene, rev_sd, -sd.w_i, spectral, classes)
+
+
+def fix_shading_normal(geo_n, sh_n, w_i, w_o):
+  """Light-transport shading-normal correction (bsdf.hxx:232-239)."""
+  import jax.numpy as jnp
+  from etx_tracer_tpu.core import math as em
+  w_i_g = em.dot(w_i, geo_n)
+  w_i_s = em.dot(w_i, sh_n)
+  w_o_g = em.dot(w_o, geo_n)
+  w_o_s = em.dot(w_o, sh_n)
+  den = jnp.maximum(em.kInvMaxHalf, jnp.abs(w_o_s * w_i_g))
+  return jnp.abs(w_o_g * w_i_s) / den
+
+
 def albedo(scene, sd: lobes.ShadingData, spectral: bool):
   """bsdf::albedo — scattering color (conductor: reflectance)."""
   scat = spx.query_spd(scene, sd.mat.scattering_spec, sd.wl, spectral)

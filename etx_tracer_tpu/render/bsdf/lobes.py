@@ -64,11 +64,16 @@ def normal_frame(sd: ShadingData):
 
 
 def _scattering(scene, sd, spectral):
-  return spx.query_spd(scene, sd.mat.scattering_spec, sd.wl, spectral)
+  """apply_image(scattering) — SPD x texture (scene.hxx:291-305)."""
+  from etx_tracer_tpu.render import images as images_mod
+  v = spx.query_spd(scene, sd.mat.scattering_spec, sd.wl, spectral)
+  return images_mod.apply_rgb_image(scene, v, sd.mat.scattering_img, sd.tex, sd.wl, spectral)
 
 
 def _reflectance(scene, sd, spectral):
-  return spx.query_spd(scene, sd.mat.reflectance_spec, sd.wl, spectral)
+  from etx_tracer_tpu.render import images as images_mod
+  v = spx.query_spd(scene, sd.mat.reflectance_spec, sd.wl, spectral)
+  return images_mod.apply_rgb_image(scene, v, sd.mat.reflectance_img, sd.tex, sd.wl, spectral)
 
 
 def _ior(scene, sd, eta_idx, k_idx, spectral):
@@ -110,8 +115,14 @@ def _eta_ratio(scene, sd, spectral):
   return spx.monochromatic(int_eta, spectral) / jnp.maximum(spx.monochromatic(ext_eta, spectral), 1e-6)
 
 
-def _roughness(sd):
-  return jnp.stack([sd.mat.roughness[..., 0], sd.mat.roughness[..., 1]], axis=-1)
+def _roughness(sd, scene=None):
+  r = jnp.stack([sd.mat.roughness[..., 0], sd.mat.roughness[..., 1]], axis=-1)
+  if scene is not None:
+    from etx_tracer_tpu.render import images as images_mod
+    s = images_mod.scalar_image(scene, sd.mat.roughness_img, sd.tex,
+                                jnp.zeros_like(sd.mat.roughness_img), 1.0)
+    r = r * s[..., None]
+  return r
 
 
 # ---------------------------------------------------------------------------

@@ -122,17 +122,31 @@ def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -
       from_point, dir_d, scene.bsphere_center, scene.bsphere_radius)[..., None]
   value_d = emission
 
-  # ---- environment (SPD-only; env image importance sampling lands with
-  #      the image bank) ----
-  # uniform sphere direction from rnd2
+  # ---- environment: image-CDF importance sampling when a map is present,
+  #      uniform sphere otherwise (scene_emitters.hxx:178-194) ----
+  from etx_tracer_tpu.render import images as images_mod
   z = 1.0 - 2.0 * rnd2[..., 0]
   phi = em.kDoublePi * rnd2[..., 1]
   s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
-  dir_e = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
-  pdf_dir_e = 1.0 / (2.0 * em.kDoublePi)
+  dir_uniform = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
+  pdf_uniform = jnp.full(rnd2.shape[0], 1.0 / (2.0 * em.kDoublePi))
+
+  has_img = prows.emission_img >= 0
+  img_safe = jnp.maximum(prows.emission_img, 0)
+  img_uv, img_pdf = images_mod.sample(scene.images, img_safe, rnd2)
+  off_u = scene.images.offset[img_safe, 0]
+  usc = scene.images.scale_u[img_safe]
+  dir_img = em.uv_to_direction(img_uv, off_u, usc)
+  sin_t = jnp.maximum(jnp.sin(img_uv[..., 1] * em.kPi), em.kEpsilon)
+  pdf_img = img_pdf / (2.0 * em.kPi * em.kPi * sin_t)
+  img_rgb = images_mod.evaluate(scene.images, img_safe, img_uv)[:, :3]
+  value_img = spx.apply_rgb(emission, img_rgb, wl, spectral)
+
+  dir_e = jnp.where(has_img[..., None], dir_img, dir_uniform)
+  pdf_dir_e = jnp.where(has_img, pdf_img, pdf_uniform)
+  value_e = jnp.where(has_img[..., None], value_img, emission)
   origin_e = from_point + dir_e * em.distance_to_sphere(
       from_point, dir_e, scene.bsphere_center, scene.bsphere_radius)[..., None]
-  value_e = emission
 
   is_area = cls == EC.Area
   is_dir = cls == EC.Directional
@@ -146,7 +160,7 @@ def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -
   normal = pick(is_area, normal_area, pick(is_dir, -pdir, -dir_e))
   direction = pick(is_area, dir_area, pick(is_dir, dir_d, dir_e))
   pdf_area = jnp.where(is_area, pdf_area_a, pdf_area_d)
-  pdf_dir = jnp.where(is_area, pdf_dir_a, jnp.where(is_dir, 1.0, pdf_dir_e))
+  pdf_dir = jnp.where(is_area, pdf_dir_a, jnp.where(is_dir, jnp.ones_like(pdf_dir_e), pdf_dir_e))
   pdf_dir_out = jnp.where(is_area, pdf_dir_out_a, pdf_dir * pdf_area_d)
 
   return EmitterSample(
@@ -156,6 +170,110 @@ def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -
       is_delta=is_dir,
       emitter_index=emitter_index,
       triangle_index=erows.triangle)
+
+
+class EmissionSample(NamedTuple):
+  """Light-path origin sample (sample_emission, scene_emitters.hxx:226-306)."""
+  value: jnp.ndarray       # (R,C)
+  origin: jnp.ndarray      # (R,3)
+  normal: jnp.ndarray      # (R,3)
+  direction: jnp.ndarray   # (R,3) emitted direction
+  pdf_sample: jnp.ndarray  # (R,)
+  pdf_area: jnp.ndarray    # (R,)
+  pdf_dir: jnp.ndarray     # (R,)
+  pdf_dir_out: jnp.ndarray  # (R,)
+  is_delta: jnp.ndarray    # (R,)
+  is_distant: jnp.ndarray  # (R,)
+  triangle_index: jnp.ndarray  # (R,)
+  medium_index: jnp.ndarray  # (R,)
+  geo_n: jnp.ndarray       # (R,3) emitter triangle geometric normal
+
+
+def sample_emission(scene, rnd_sel, rnd_pos, rnd_dir, wl, spectral: bool) -> EmissionSample:
+  """Sample a light-path origin + direction over the wavefront."""
+  from etx_tracer_tpu.ops import gather as gops
+  from etx_tracer_tpu.scene import packed
+
+  emitter_index, _ = sample_emitter_index(scene, rnd_sel)
+  erows = packed.EmitterRows(gops.take_rows(scene.em_table, emitter_index))
+  cls = erows.cls
+  profile = erows.profile
+  prows = packed.ProfileRows(gops.take_rows(scene.prof_table, profile))
+  tri = jnp.maximum(erows.triangle, 0)
+  trows = packed.TriRows(gops.take_rows(scene.tri_table, tri))
+  r = rnd_sel.shape[0]
+  pdf_sample = discrete_pdf(scene, emitter_index)
+  emission = spx.query_spd(scene, prows.emission_spec, wl, spectral)
+
+  # ---- area: cosine-power emission from a surface point ----
+  bc = em.random_barycentric(rnd_pos)
+  tv = gops.take_rows(
+      jnp.concatenate([scene.tri_v0, scene.tri_e1, scene.tri_e2], axis=1), tri)
+  origin_a = tv[:, 0:3] + bc[..., 1:2] * tv[:, 3:6] + bc[..., 2:3] * tv[:, 6:9]
+  normal_a = em.normalize(trows.n0 * bc[..., 0:1] + trows.n1 * bc[..., 1:2] + trows.n2 * bc[..., 2:3])
+  tan_a = em.normalize(trows.t0 * bc[..., 0:1] + trows.t1 * bc[..., 1:2] + trows.t2 * bc[..., 2:3])
+  btn_a = em.normalize(trows.b0 * bc[..., 0:1] + trows.b1 * bc[..., 1:2] + trows.b2 * bc[..., 2:3])
+  colc = packed.mat_column("emission_collimation")
+  collim = gops.take_rows(scene.mat_table[:, colc:colc + 1], trows.mat)[:, 0]
+  exponent = collimation_to_exponent(collim)
+  local = em.sample_cosine_distribution(rnd_dir, exponent)
+  dir_a = tan_a * local[..., 0:1] + btn_a * local[..., 1:2] + normal_a * local[..., 2:3]
+  # emitter_evaluate_out_local (scene_emitters.hxx:21-38)
+  pdf_dir_a = jnp.maximum(0.0, em.dot(normal_a, dir_a)) * em.kInvPi
+  pdf_area_a = 1.0 / jnp.maximum(erows.triangle_area, 1e-12)
+  pdf_dir_out_a = pdf_dir_a * pdf_area_a
+
+  # ---- directional: disk origin on the bounding sphere ----
+  pdir = prows.direction
+  to_scene = -pdir
+  u, v = em.orthonormal_basis(to_scene)
+  ps = em.sample_disk(rnd_pos)
+  ds = em.sample_disk(rnd_dir)
+  disk = prows.equivalent_disk_size
+  dir_d = em.normalize(to_scene + u * (ds[..., 0:1] * 0.5 * disk[..., None])
+                       + v * (ds[..., 1:2] * 0.5 * disk[..., None]))
+  radius = scene.bsphere_radius
+  origin_d = scene.bsphere_center + radius * (
+      ps[..., 0:1] * u + ps[..., 1:2] * v - to_scene)
+  origin_d = origin_d + dir_d * em.distance_to_sphere(
+      origin_d, dir_d, scene.bsphere_center, radius)[..., None]
+  pdf_area_sph = 1.0 / (em.kPi * em.sqr(radius))
+
+  # ---- environment: uniform direction inward from the sphere ----
+  z = 1.0 - 2.0 * rnd_dir[..., 0]
+  phi = em.kDoublePi * rnd_dir[..., 1]
+  s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+  dir_env = -jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
+  ue, ve = em.orthonormal_basis(dir_env)
+  origin_e = scene.bsphere_center + radius * (
+      ps[..., 0:1] * ue + ps[..., 1:2] * ve - dir_env)
+  origin_e = origin_e + dir_env * em.distance_to_sphere(
+      origin_e, dir_env, scene.bsphere_center, radius)[..., None]
+  pdf_dir_e = 1.0 / (2.0 * em.kDoublePi)
+
+  is_area = cls == EC.Area
+  is_dir = cls == EC.Directional
+  is_env = cls == EC.Environment
+
+  def pick3(a, b, c_):
+    return jnp.where(is_area[..., None], a, jnp.where(is_dir[..., None], b, c_))
+
+  value = emission
+  origin = pick3(origin_a, origin_d, origin_e)
+  normal = pick3(normal_a, to_scene, dir_env)
+  direction = pick3(dir_a, dir_d, dir_env)
+  pdf_area = jnp.where(is_area, pdf_area_a, pdf_area_sph)
+  pdf_dir = jnp.where(is_area, pdf_dir_a, jnp.where(is_dir, 1.0, pdf_dir_e))
+  pdf_dir_out = jnp.where(is_area, pdf_dir_out_a, pdf_dir * pdf_area_sph)
+
+  return EmissionSample(
+      value=value, origin=origin, normal=normal, direction=direction,
+      pdf_sample=pdf_sample, pdf_area=pdf_area, pdf_dir=pdf_dir,
+      pdf_dir_out=pdf_dir_out,
+      is_delta=is_dir, is_distant=~is_area,
+      triangle_index=erows.triangle,
+      medium_index=jnp.full(r, -1, jnp.int32),
+      geo_n=trows.geo_n)
 
 
 def area_radiance(scene, emitter_index, wl, ray_origin, hit_pos, uv, directly_visible,
@@ -228,11 +346,24 @@ def env_contribution(scene, direction, wl, directly_visible, mis_flag, bsdf_pdf,
     value_dir = jnp.full((r, c), 1.0) * disk_norm[..., None]
     pdf_dir_d = jnp.where(dir_ok, 1.0, 0.0)
 
-    # environment: constant SPD -> uniform-sphere pdf (image CDF pdf later)
-    pdf_dir_e = jnp.full(r, 1.0 / (2.0 * em.kDoublePi))
+    # environment: image radiance + CDF pdf when mapped, constant otherwise
+    from etx_tracer_tpu.render import images as images_mod
+    img = scene.emitter_profiles.emission_img[profile]
+    has_img = img >= 0
+    img_safe = jnp.maximum(img, 0)
+    off_u = scene.images.offset[img_safe, 0]
+    usc = scene.images.scale_u[img_safe]
+    uv_env = em.direction_to_uv(direction, off_u, usc)
+    img_rgb = images_mod.evaluate(scene.images, jnp.full(r, img_safe), uv_env)[:, :3]
+    value_env_img = spx.apply_rgb(value, img_rgb, wl, spectral)
+    sin_t = jnp.maximum(jnp.sin(uv_env[..., 1] * em.kPi), em.kEpsilon)
+    ipdf = images_mod.pdf_at(scene.images, jnp.full(r, img_safe), uv_env)
+    pdf_env_img = ipdf / (2.0 * em.kPi * em.kPi * sin_t)
+    value_env = jnp.where(has_img, value_env_img, value)
+    pdf_dir_e = jnp.where(has_img, pdf_env_img, jnp.full(r, 1.0 / (2.0 * em.kDoublePi)))
 
     is_dir = cls == EC.Directional
-    v = jnp.where(is_dir[..., None], value_dir * pdf_dir_d[..., None], value)
+    v = jnp.where(is_dir[..., None], value_dir * pdf_dir_d[..., None], value_env)
     pdf_dir = jnp.where(is_dir, pdf_dir_d, pdf_dir_e)
 
     dscr = discrete_pdf(scene, ei_s)

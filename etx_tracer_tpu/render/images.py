@@ -1,0 +1,192 @@
+"""Texture bank evaluation + 2D CDF importance sampling.
+
+Counterpart of render/shared/image.hxx + the pool's sampling-table build
+(render/host/image_pool.cxx): bilinear evaluation with repeat addressing,
+luminance x sin(theta) row-weighted CDFs for environment maps, pdf queries
+matching the reference's normalization (image.hxx:76-89).
+
+All images live in one padded (I, H, W, 4) bank; per-image true sizes keep
+coordinates right. Lookups are per-ray gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from etx_tracer_tpu.core import math as em
+
+
+def evaluate(bank, idx, uv):
+  """Bilinear RGBA lookup; idx (R,), uv (R,2) -> (R,4).
+
+  Matches Image::evaluate's 2x2 gather (sum of bilinear-weighted texels).
+  """
+  size = bank.size[idx].astype(jnp.float32)  # (R,2) w,h
+  w = size[:, 0]
+  h = size[:, 1]
+  # repeat addressing in pixel space (image.hxx:157-168)
+  x = uv[:, 0] * w - 0.5
+  y = uv[:, 1] * h - 0.5
+  x0 = jnp.floor(x)
+  y0 = jnp.floor(y)
+  dx = x - x0
+  dy = y - y0
+
+  def wrap(v, n):
+    m = jnp.mod(v, n)
+    return jnp.where(m < 0, m + n, m).astype(jnp.int32)
+
+  xi0 = wrap(x0, w)
+  xi1 = wrap(x0 + 1, w)
+  yi0 = wrap(y0, h)
+  yi1 = wrap(y0 + 1, h)
+
+  p00 = bank.pixels[idx, yi0, xi0]
+  p01 = bank.pixels[idx, yi0, xi1]
+  p10 = bank.pixels[idx, yi1, xi0]
+  p11 = bank.pixels[idx, yi1, xi1]
+  wx0 = (1.0 - dx)[..., None]
+  wx1 = dx[..., None]
+  wy0 = (1.0 - dy)[..., None]
+  wy1 = dy[..., None]
+  return (p00 * wx0 + p01 * wx1) * wy0 + (p10 * wx0 + p11 * wx1) * wy1
+
+
+def apply_rgb_image(scene, response, img_idx, uv, wl, spectral: bool):
+  """response *= image RGB when img_idx >= 0 (apply_image semantics)."""
+  from etx_tracer_tpu.render import spectral as spx
+  safe = jnp.maximum(img_idx, 0)
+  texel = evaluate(scene.images, safe, uv)
+  rgb = texel[:, :3]
+  scaled = spx.apply_rgb(response, rgb, wl, spectral)
+  return jnp.where((img_idx >= 0)[..., None], scaled, response)
+
+
+def scalar_image(scene, img_idx, uv, channel, default):
+  """Single-channel lookup (evaluate_image, scene.hxx:272-281)."""
+  safe = jnp.maximum(img_idx, 0)
+  texel = evaluate(scene.images, safe, uv)
+  ch = jnp.clip(channel, 0, 3)
+  v = jnp.take_along_axis(texel, ch[..., None], axis=-1)[..., 0]
+  return jnp.where(img_idx >= 0, v, default)
+
+
+def _searchsorted_rows(cdf_rows, u, length):
+  """Per-lane binary search over gathered CDF rows (R, L)."""
+  lo = jnp.zeros(u.shape, jnp.int32)
+  hi = jnp.full(u.shape, length - 1, jnp.int32)
+  steps = int(np.ceil(np.log2(max(length, 2)))) + 1
+  for _ in range(steps):
+    mid = (lo + hi) // 2
+    cv = jnp.take_along_axis(cdf_rows, mid[..., None], axis=-1)[..., 0]
+    go_right = cv < u
+    lo = jnp.where(go_right, mid + 1, lo)
+    hi = jnp.where(go_right, hi, mid)
+  return jnp.clip(hi, 0, length - 1)
+
+
+def sample(bank, idx, rnd):
+  """Importance-sample (uv, pdf) from an image's 2D CDF (image.hxx:119-148)."""
+  size = bank.size[idx]
+  h_pad = bank.col_cdf.shape[1]
+  w_pad = bank.row_cdf.shape[2]
+
+  col_rows = bank.col_cdf[idx]       # (R, Hpad)
+  y = _searchsorted_rows(col_rows, rnd[:, 1], h_pad)
+  row_rows = bank.row_cdf[idx, y]    # (R, Wpad)
+  x = _searchsorted_rows(row_rows, rnd[:, 0], w_pad)
+
+  # continuous offset within the texel (image.hxx:127-139)
+  def cdf_at(rows, i):
+    prev = jnp.where(i > 0, jnp.take_along_axis(rows, jnp.maximum(i - 1, 0)[..., None], -1)[..., 0], 0.0)
+    cur = jnp.take_along_axis(rows, i[..., None], -1)[..., 0]
+    return prev, cur
+
+  x0c, x1c = cdf_at(row_rows, x)
+  y0c, y1c = cdf_at(col_rows, y)
+  dx = jnp.where(x1c > x0c, (rnd[:, 0] - x0c) / jnp.maximum(x1c - x0c, 1e-12), 0.0)
+  dy = jnp.where(y1c > y0c, (rnd[:, 1] - y0c) / jnp.maximum(y1c - y0c, 1e-12), 0.0)
+
+  fw = size[:, 0].astype(jnp.float32)
+  fh = size[:, 1].astype(jnp.float32)
+  uv = jnp.stack([(x.astype(jnp.float32) + dx) / fw,
+                  (y.astype(jnp.float32) + dy) / fh], axis=-1)
+  pdf = pdf_at(bank, idx, uv)
+  return uv, pdf
+
+
+def pdf_at(bank, idx, uv):
+  """Sampling pdf at uv (Image::evaluate pdf path, image.hxx:79-86)."""
+  texel = evaluate(bank, idx, uv)
+  lum = em.luminance(texel[:, :3])
+  s_t = jnp.maximum(jnp.sin(em.kPi * jnp.clip(uv[:, 1], 0.0, 1.0)), 0.0)
+  uniform = bank.size[idx, 1] <= 1
+  s_t = jnp.where(uniform, 1.0, s_t)
+  return lum * s_t / jnp.maximum(bank.normalization[idx], 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Host-side bank building
+# ---------------------------------------------------------------------------
+
+
+def build_bank(images: list[dict]):
+  """images: list of {pixels (H,W,4) float32, offset (2,), u_scale, build_cdf}.
+
+  Returns a scene.types.ImageBank.
+  """
+  from etx_tracer_tpu.scene.types import ImageBank
+
+  if not images:
+    return None
+  h_max = max(im["pixels"].shape[0] for im in images)
+  w_max = max(im["pixels"].shape[1] for im in images)
+  n = len(images)
+  pixels = np.zeros((n, h_max, w_max, 4), np.float32)
+  size = np.zeros((n, 2), np.int32)
+  row_cdf = np.ones((n, h_max, w_max), np.float32)
+  row_pdf = np.zeros((n, h_max, w_max), np.float32)
+  col_cdf = np.ones((n, h_max), np.float32)
+  col_pdf = np.zeros((n, h_max), np.float32)
+  offset = np.zeros((n, 2), np.float32)
+  scale_u = np.ones(n, np.float32)
+  normalization = np.ones(n, np.float32)
+
+  for i, im in enumerate(images):
+    px = im["pixels"].astype(np.float32)
+    h, w = px.shape[:2]
+    pixels[i, :h, :w] = px
+    size[i] = (w, h)
+    offset[i] = im.get("offset", (0.0, 0.0))
+    scale_u[i] = im.get("u_scale", 1.0)
+    if im.get("build_cdf", False):
+      lum = (px[..., 0] * 0.212671 + px[..., 1] * 0.715160 + px[..., 2] * 0.072169)
+      v = (np.arange(h) + 0.5) / h
+      row_w = np.ones(h) if im.get("uniform", False) or h == 1 else np.sin(v * np.pi)
+      row_sums = lum.sum(axis=1)
+      # conditional CDF over x within each row
+      safe = np.where(row_sums > 0, row_sums, 1.0)[:, None]
+      rp = lum / safe
+      rc = np.cumsum(rp, axis=1)
+      rc[:, -1] = 1.0
+      row_pdf[i, :h, :w] = rp * w  # pdf density in texel units
+      row_cdf[i, :h, :w] = rc
+      # marginal over y with sin weight
+      weighted = row_sums * row_w
+      total = weighted.sum()
+      cp = weighted / (total if total > 0 else 1.0)
+      cc = np.cumsum(cp)
+      cc[-1] = 1.0
+      col_pdf[i, :h] = cp * h
+      col_cdf[i, :h] = cc
+      normalization[i] = total / (w * h)
+
+  return ImageBank(
+      pixels=jnp.asarray(pixels), size=jnp.asarray(size),
+      inv_size=jnp.asarray(1.0 / np.maximum(size, 1).astype(np.float32)),
+      row_cdf=jnp.asarray(row_cdf), row_pdf=jnp.asarray(row_pdf),
+      col_cdf=jnp.asarray(col_cdf), col_pdf=jnp.asarray(col_pdf),
+      offset=jnp.asarray(offset), scale_u=jnp.asarray(scale_u),
+      normalization=jnp.asarray(normalization))

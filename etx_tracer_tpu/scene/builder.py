@@ -156,6 +156,21 @@ class SceneBuilder:
   def add_distant_emitter(self, desc: EmitterProfileDesc):
     self.distant_emitters.append(desc)
 
+  def add_image(self, pixels: np.ndarray, build_cdf: bool = False,
+                offset=(0.0, 0.0), u_scale: float = 1.0, uniform: bool = False) -> int:
+    self.images.append({
+        "pixels": np.asarray(pixels, np.float32),
+        "build_cdf": build_cdf, "offset": offset,
+        "u_scale": u_scale, "uniform": uniform})
+    return len(self.images) - 1
+
+  def add_image_file(self, path: str, build_cdf: bool = False,
+                     offset=(0.0, 0.0), u_scale: float = 1.0,
+                     srgb_to_linear: bool = True) -> int:
+    from etx_tracer_tpu.utils import image_io
+    return self.add_image(image_io.load_image(path, srgb_to_linear),
+                          build_cdf=build_cdf, offset=offset, u_scale=u_scale)
+
   def add_mesh(self, positions, indices, material: int, normals=None, uvs=None):
     self.positions.append(np.asarray(positions, np.float32).reshape(-1, 3))
     self.indices.append(np.asarray(indices, np.int32).reshape(-1, 3))
@@ -333,8 +348,12 @@ class SceneBuilder:
     # ---- mediums ----
     mediums = _build_mediums(self.mediums, self.spectra)
 
-    # ---- images (bank unused until textures land) ----
-    images = _empty_image_bank()
+    # ---- images ----
+    if self.images:
+      from etx_tracer_tpu.render import images as images_mod
+      images = images_mod.build_bank(self.images)
+    else:
+      images = _empty_image_bank()
 
     # ---- camera ----
     camera = _build_camera(self.camera_origin, self.camera_target, self.camera_up,
@@ -559,4 +578,5 @@ def _empty_image_bank() -> st.ImageBank:
       col_pdf=jnp.ones((1, 1), jnp.float32),
       offset=jnp.zeros((1, 2), jnp.float32),
       scale_u=jnp.ones((1,), jnp.float32),
+      normalization=jnp.ones((1,), jnp.float32),
   )

@@ -213,10 +213,18 @@ class ObjSceneLoader:
   def _parse_env_light(self, params: dict, base_dir: str):
     spd = self._load_illuminant(params["color"]) if "color" in params \
         else sp.SpectralDistribution.rgb_luminance([1.0, 1.0, 1.0])
-    # env image handling arrives with the image bank
+    img = -1
+    rotation = -float(params.get("rotation", "0")) / 360.0
+    u_scale = float(params.get("scale", "1"))
+    if params.get("image"):
+      path = os.path.join(base_dir, params["image"])
+      if os.path.isfile(path):
+        img = self.b.add_image_file(path, build_cdf=True, offset=(rotation, 0.0),
+                                    u_scale=u_scale, srgb_to_linear=False)
     self.b.add_distant_emitter(EmitterProfileDesc(
         cls=st.EmitterClass.Environment,
-        emission_spec=self.b.add_spectrum(spd)))
+        emission_spec=self.b.add_spectrum(spd),
+        emission_img=img))
 
   def _parse_spectrum(self, params: dict, base_dir: str):
     name = params.get("id")
@@ -266,6 +274,48 @@ class ObjSceneLoader:
           desc.cls = _CLASS_NAMES.get(toks[i + 1].lower(), st.MaterialClass.Diffuse)
     if "diffuse" in params:
       desc.diffuse_variation = int(float(params["diffuse"].split()[0]))
+
+    # texture maps (map_Kd/map_Ks/map_Kt + map_Pr/map_Ml/map_Tm channels)
+    def tex(key, srgb=True):
+      if key not in params:
+        return -1
+      toks = params[key].split()
+      path = os.path.join(base_dir, toks[0])
+      if os.path.isfile(path):
+        return self.b.add_image_file(path, srgb_to_linear=srgb)
+      return -1
+
+    m = tex("map_Kd")
+    if m >= 0:
+      desc.scattering_img = m
+    m = tex("map_Ks")
+    if m >= 0:
+      desc.reflectance_img = m
+    m = tex("map_Kt")
+    if m >= 0:
+      desc.scattering_img = m
+    m = tex("map_Pr", srgb=False)
+    if m >= 0:
+      desc.roughness_img = m
+    m = tex("map_Ml", srgb=False)
+    if m >= 0:
+      desc.metalness_img = m
+    m = tex("map_Tm", srgb=False)
+    if m >= 0:
+      desc.transmission_img = m
+    if "normalmap" in params:
+      toks = params["normalmap"].split()
+      i = 0
+      while i < len(toks):
+        if toks[i] == "image" and i + 1 < len(toks):
+          path = os.path.join(base_dir, toks[i + 1])
+          if os.path.isfile(path):
+            desc.normal_img = self.b.add_image_file(path, srgb_to_linear=False)
+          i += 1
+        elif toks[i] == "scale" and i + 1 < len(toks):
+          desc.normal_scale = float(toks[i + 1])
+          i += 1
+        i += 1
 
     if "int_ior" in params:
       cls, e, k = self._load_ior(params["int_ior"])

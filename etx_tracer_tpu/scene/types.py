@@ -151,6 +151,7 @@ class ImageBank(NamedTuple):
   col_pdf: jnp.ndarray    # (I, H) float32
   offset: jnp.ndarray     # (I, 2) float32 uv offset (env maps)
   scale_u: jnp.ndarray    # (I,) float32
+  normalization: jnp.ndarray  # (I,) float32 CDF pdf normalization
 
 
 class BVH(NamedTuple):

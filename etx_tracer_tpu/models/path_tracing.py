@@ -333,6 +333,39 @@ def pt_step(scene, config, state: PTState) -> PTState:
   rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
   bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
 
+  # --- subsurface random walk (handle_hit_ray, :390-443) ---
+  if config.has_subsurface:
+    from etx_tracer_tpu.render import subsurface as sss_mod
+    from etx_tracer_tpu.scene.types import SubsurfaceClass
+    sss_path = (found & (mat.subsurface_cls != SubsurfaceClass.Disabled)
+                & bs.is_reflection & bs.is_diffuse)
+    gather, rng_state = sss_mod.gather_rw(
+        scene, sd, mat_idx, pos, rng_state, sss_path, spectral)
+    sss_ok = sss_path & gather.found
+    # exit-side shading: substitute the exit surface for continuation + NEE
+    # (the subsequent NEE block then evaluates at the exit point, mirroring
+    # the reference's NEE over SSS exits with the exit material, :419-426)
+    out_nrm = gather.nrm
+    pos = jnp.where(sss_ok[..., None], gather.pos, pos)
+    nrm = jnp.where(sss_ok[..., None], out_nrm, nrm)
+    sd = sd._replace(
+        nrm=jnp.where(sss_ok[..., None], out_nrm, sd.nrm),
+        tan=jnp.where(sss_ok[..., None], gather.tan, sd.tan),
+        btn=jnp.where(sss_ok[..., None], gather.btn, sd.btn),
+        geo_n=jnp.where(sss_ok[..., None], gather.geo_n, sd.geo_n),
+        tex=jnp.where(sss_ok[..., None], gather.uv, sd.tex))
+    # override continuation: cosine lobe at the exit
+    rng_state, sss_rnd = rng.next_2d(rng_state)
+    sss_dir = em.sample_cosine_distribution_n(sss_rnd, out_nrm, 1.0)
+    sss_pdf = jnp.abs(em.dot(sss_dir, out_nrm)) * em.kInvPi
+    bs = bs._replace(
+        w_o=jnp.where(sss_ok[..., None], sss_dir, bs.w_o),
+        weight=jnp.where(sss_ok[..., None], gather.weight, bs.weight),
+        pdf=jnp.where(sss_ok, sss_pdf, bs.pdf),
+        is_delta=jnp.where(sss_ok, False, bs.is_delta))
+    # lanes that chose the subsurface path but failed the walk die
+    found = found & ~(sss_path & ~gather.found)
+
   # --- NEE (direct light sampling, :414-435) ---
   rng_state, rnd_sel = rng.next_float(rng_state)
   rng_state, rnd_em = rng.next_2d(rng_state)
@@ -342,7 +375,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
     esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral)
     bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes)
     # shadow ray from offset shading position toward the emitter point
-    sh_o = _shading_pos(trows.geo_n, pos, esmp.direction)
+    sh_o = _shading_pos(sd.geo_n, pos, esmp.direction)
     if config.has_media:
       # transmittance through boundary interfaces + media (rt.cxx:468-579)
       tr_nee, rng_state = _trace_transmittance(
@@ -370,7 +403,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
   boundary_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
 
   new_d = jnp.where(is_boundary[..., None], state.ray_d, bs.w_o)
-  new_o = _shading_pos(trows.geo_n, pos, new_d)
+  new_o = _shading_pos(sd.geo_n, pos, new_d)
   new_medium = jnp.where(is_boundary, boundary_medium, bs.medium)
   new_throughput = jnp.where(is_boundary[..., None], throughput, throughput * bs.weight)
   new_bsdf_pdf = jnp.where(is_boundary, state.bsdf_pdf, bs.pdf)

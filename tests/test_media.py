@@ -115,3 +115,43 @@ class TestFogRender:
     assert img_fog.mean() > 0.001
     diff = np.abs(img_fog - img_clear).mean()
     assert diff > 0.005  # fog visibly changes transport
+
+
+class TestSubsurface:
+  def test_remap_properties(self):
+    from etx_tracer_tpu.render import subsurface as sss
+    import jax.numpy as jnp
+    color = jnp.array([[0.0, 0.5, 1.0]])
+    dist = jnp.array([[0.1, 0.1, 0.1]])
+    albedo, ext, scat = sss.remap(color, dist)
+    a = np.asarray(albedo)[0]
+    assert a[0] == 0.0 and a[1] > 0.0 and a[2] > a[1]
+    assert (a < 1.0).all()
+    np.testing.assert_allclose(np.asarray(ext)[0], 10.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(scat), np.asarray(ext) * np.asarray(albedo), rtol=1e-5)
+
+  def test_sss_render(self):
+    import dataclasses as dc
+    from etx_tracer_tpu.core import spectrum as sp
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+    from etx_tracer_tpu.scene import types as st
+
+    b = cornell.build_cornell_box(film_size=(24, 24), diffuse_only=True, max_path_length=6)
+    gi = b.material_names["gray"]
+    dist = b.add_spectrum(sp.SpectralDistribution.rgb_reflectance([0.3, 0.1, 0.05]))
+    b.materials[gi] = dc.replace(b.materials[gi],
+                                 subsurface_cls=st.SubsurfaceClass.RandomWalk,
+                                 subsurface_spec=dist)
+    scene, config = b.build()
+    assert config.has_subsurface
+    fs = path_tracing.render(scene, config, iterations=4)
+    img = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+    b2 = cornell.build_cornell_box(film_size=(24, 24), diffuse_only=True, max_path_length=6)
+    scene2, config2 = b2.build()
+    fs2 = path_tracing.render(scene2, config2, iterations=4)
+    img2 = np.asarray(film_mod.result_image(fs2))
+    assert np.abs(img - img2).mean() > 0.003  # SSS visibly changes the boxes

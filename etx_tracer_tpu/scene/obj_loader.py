@@ -494,15 +494,20 @@ class ObjSceneLoader:
         self._parse_material(name, params, base_dir)
 
   def _parse_atmosphere(self, params: dict):
-    # atmosphere sun/sky precompute lands with the scattering module;
-    # approximate with a directional sun so scenes load meanwhile
+    """`et::atmosphere` -> precomputed sun + sky emitters
+    (scene_representation.cxx:1376-1497)."""
+    from etx_tracer_tpu.scene import atmosphere as atm
     direction = [float(x) for x in params.get("direction", "0 1 0").split()[:3]]
-    self.b.add_distant_emitter(EmitterProfileDesc(
-        cls=st.EmitterClass.Directional,
-        emission_spec=self.b.add_spectrum(
-            sp.SpectralDistribution.from_normalized_black_body(5778.0, 10.0)),
-        direction=tuple(direction),
-        angular_size=float(np.deg2rad(0.53))))
+    quality = float(params.get("quality", "1"))
+    p = atm.Parameters(
+        altitude=float(params.get("altitude", "50")),
+        anisotropy=float(params.get("anisotropy", "0.75")),
+        rayleigh_scale=float(params.get("rayleigh", "1")),
+        mie_scale=float(params.get("mie", "1")),
+        ozone_scale=float(params.get("ozone", "1")))
+    size = max(64, int(256 * quality))
+    atm.add_atmosphere(self.b, direction=tuple(direction), params=p,
+                       sky_size=(size, size // 2))
 
 
 def _load_density_grid(path: str):

@@ -662,3 +662,139 @@ def render(scene, config, iterations: int | None = None,
   n = config.samples if iterations is None else iterations
   sums, _ = render_samples(scene, config, 0, n, pool_size=min(pool_size, config.film_width * config.film_height * n))
   return finalize_film(sums, n, config.film_width)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive sampling (film.cxx:233-330): after a minimum budget, only pixels
+# whose full/half-buffer deviation exceeds the noise threshold (dilated by a
+# 5px block) keep receiving samples; the pool simply draws pixel ids from an
+# active-pixel map instead of raster order.
+# ---------------------------------------------------------------------------
+
+_ADAPTIVE_MIN_SAMPLES = 32  # film.cxx:15
+_ADAPTIVE_DILATION = 5
+
+
+@functools.partial(jax.jit, static_argnames=("config", "num_iterations", "pool_size"))
+def render_samples_mapped(scene, config, pixel_map, first_iteration,
+                          num_iterations: int, sums: FilmSums,
+                          pool_size: int = 1 << 17):
+  """render_samples over an explicit pixel map (adaptive phase).
+
+  pixel_map: (W*H,) int32 — sample k goes to pixel_map[k % npix]; RNG
+  streams key off the unique sample id so repeated pixels stay decorrelated.
+  """
+  w, h = config.film_width, config.film_height
+  npix = w * h
+  total = npix * num_iterations
+  p = min(pool_size, total)
+
+  base = first_iteration * npix
+
+  def payload_for(sample_ids, end):
+    pix = pixel_map[sample_ids % npix]
+    st = make_lane_payload(scene, config, sample_ids, end)
+    # reseed with the unique sample id so map repeats stay independent
+    state = rng.seed(sample_ids.astype(jnp.uint32),
+                     pix.astype(jnp.uint32) + jnp.uint32(0x85EBCA6B))
+    state, wl_rnd = rng.next_float(state)
+    wl = spmod.sample_wavelength(wl_rnd) if config.spectral else jnp.zeros_like(wl_rnd)
+    px = (pix % w).astype(jnp.int32)
+    py = (pix // w).astype(jnp.int32)
+    state, jit_rnd = rng.next_2d(state)
+    uv = camera_mod.film_uv(px, py, w, h, jit_rnd - 0.5)
+    state, lens_rnd = rng.next_2d(state)
+    rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+    return st._replace(ray_o=rays.o, ray_d=rays.d, t_min=rays.t_min,
+                       t_max=rays.t_max, rng_state=state, wl=wl,
+                       pixel=pix,
+                       sample_iter=(sample_ids // npix).astype(jnp.int32))
+
+  ids0 = base + jnp.arange(p, dtype=jnp.int32)
+  end = base + total
+  state = payload_for(ids0, end)
+  counter = jnp.int32(base + p)
+
+  def cond(carry):
+    state, counter, sums = carry
+    return jnp.any(state.alive)
+
+  def body(carry):
+    state, counter, sums = carry
+    new_state = pt_step(scene, config, state)
+    died = state.alive & ~new_state.alive
+    color = _lane_color(scene, config, new_state)
+    px = jnp.where(died, new_state.pixel, 0)
+    dmask = died[..., None].astype(jnp.float32)
+    even = (died & ((new_state.sample_iter % 2) == 0))[..., None].astype(jnp.float32)
+    alb = spx.to_film_rgb(new_state.view_albedo, new_state.wl, config.spectral)
+    row = jnp.concatenate([color * dmask, new_state.view_normal * dmask,
+                           alb * dmask, color * even, dmask, even], axis=-1)
+    sums = FilmSums(sums.table.at[px].add(row))
+    ranks = jnp.cumsum(died.astype(jnp.int32)) - 1
+    new_ids = counter + ranks
+    fresh = payload_for(jnp.where(died, new_ids, 0), end)
+    regen = died & (new_ids < end)
+
+    def pick(f, o):
+      if f.ndim == 0:
+        return o
+      m = regen
+      while m.ndim < f.ndim:
+        m = m[..., None]
+      return jnp.where(m, f, o)
+
+    merged = jax.tree_util.tree_map(pick, fresh, new_state)
+    merged = merged._replace(alive=jnp.where(died, regen, new_state.alive),
+                             rays_traced=new_state.rays_traced)
+    counter = counter + jnp.sum(died.astype(jnp.int32))
+    return merged, counter, sums
+
+  state, counter, sums = jax.lax.while_loop(cond, body, (state, counter, sums))
+  return sums, state.rays_traced
+
+
+def active_pixel_map(sums: FilmSums, width: int, threshold: float):
+  """Noise-driven pixel map: unconverged pixel ids (5px-dilated), padded by
+  tiling so the map always has npix entries. Returns (map, active_count)."""
+  npix = sums.table.shape[0]
+  h = npix // width
+  count = jnp.maximum(sums.count, 1.0)
+  vcount = jnp.maximum(sums.var_count, 1.0)
+  lum_w = jnp.array([0.212671, 0.715160, 0.072169])
+  full = jnp.sum(sums.cam_sum / count[..., None] * lum_w, axis=-1)
+  half = jnp.sum(sums.var_sum / vcount[..., None] * lum_w, axis=-1)
+  noise = jnp.abs(full - half) / jnp.maximum(jnp.abs(full), 1e-4)
+  active = (noise > threshold).reshape(h, width)
+  # 5px block dilation (film.cxx:302-330)
+  k = _ADAPTIVE_DILATION
+  pad = k // 2
+  act = jnp.pad(active, pad)
+  dil = jnp.zeros_like(active)
+  for dy in range(k):
+    for dx in range(k):
+      dil = dil | act[dy:dy + h, dx:dx + width]
+  flat = dil.reshape(-1)
+  n_active = jnp.sum(flat.astype(jnp.int32))
+  order = jnp.argsort(~flat)  # active pixels first (stable)
+  ids = jnp.arange(npix, dtype=jnp.int32)[order]
+  idx = jnp.arange(npix) % jnp.maximum(n_active, 1)
+  return ids[idx], n_active
+
+
+def render_adaptive(scene, config, max_iterations: int | None = None,
+                    batch: int = 8):
+  """Progressive render with adaptive per-pixel termination."""
+  n = config.samples if max_iterations is None else max_iterations
+  w, h = config.film_width, config.film_height
+  warm = min(_ADAPTIVE_MIN_SAMPLES, n)
+  sums, _ = render_samples(scene, config, 0, warm)
+  done = warm
+  while done < n:
+    k = min(batch, n - done)
+    pmap, n_active = active_pixel_map(sums, w, config.noise_threshold)
+    if int(n_active) == 0:
+      break
+    sums, _ = render_samples_mapped(scene, config, pmap, done, k, sums)
+    done += k
+  return finalize_film(sums, done, w)

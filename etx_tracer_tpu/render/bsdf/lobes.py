@@ -258,28 +258,35 @@ def boundary_sample(scene, sd, rnd, spectral):
 
 
 def conductor_sample(scene, sd, rnd, spectral):
+  """MS-conductor sampling (bsdf_conductor.hxx:13-68): the Heitz walk for
+  rough lanes, exact delta reflection for smooth ones."""
+  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+
   frame, _ = normal_frame(sd)
   alpha = _roughness(sd)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
   alpha_c = mf.clamp_alpha(alpha)
   w_i_l = em.to_local(frame, -sd.w_i)  # z > 0
-  w_i_l = jnp.concatenate([w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1)
+  w_i_l = em.normalize(jnp.concatenate(
+      [w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1))
 
-  m = mf.sample_vndf(rnd[..., 0:2], w_i_l, alpha_c)
-  m = jnp.where(delta[..., None], jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), m.shape), m)
-  w_o_l = em.reflect(-w_i_l, m)
+  def fres(cos_t):
+    return _fresnel_at(scene, sd, cos_t, spectral)
+
+  w_o_ms, energy = ms.conductor_sample_walk(fres, w_i_l, alpha_c, rnd)
   refl = _reflectance(scene, sd, spectral)
-  f = _fresnel_at(scene, sd, em.dot(w_i_l, m), spectral)
 
-  # single-scatter VNDF estimator: weight = F * G2/G1
-  g1 = mf.ggx_g1(w_i_l, m, alpha_c)
-  g2 = g1 * mf.ggx_g1(w_o_l, m, alpha_c)
-  ok = (w_o_l[..., 2] > em.kEpsilon) & (w_i_l[..., 2] > em.kEpsilon)
-  weight = refl * f * jnp.where(delta, 1.0, g2 / jnp.maximum(g1, 1e-9))[..., None]
+  # delta path: mirror reflection with normal-incidence-frame Fresnel
+  w_o_delta = em.reflect(-w_i_l, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), w_i_l.shape))
+  f_delta = fres(w_i_l[..., 2])
+
+  w_o_l = jnp.where(delta[..., None], w_o_delta, w_o_ms)
+  weight = refl * jnp.where(delta[..., None], f_delta, energy)
+  ok = w_o_l[..., 2] > em.kEpsilon
   weight = jnp.where(ok[..., None], weight, 0.0)
 
-  pdf_rough = mf.vndf_pdf(w_i_l, m, alpha_c) / jnp.maximum(4.0 * jnp.abs(em.dot(w_o_l, m)), 1e-9)
-  pdf = jnp.where(delta, 1.0, pdf_rough)
+  # reference pdf: D/( (1+Lambda) 4 cos_i ) + cos_o (bsdf_conductor.hxx:63)
+  pdf = jnp.where(delta, 1.0, mf.ms_pdf(w_i_l, w_o_l, alpha_c))
   pdf = jnp.where(ok, pdf, 0.0)
 
   w_o = em.from_local(frame, w_o_l)
@@ -291,21 +298,25 @@ def conductor_sample(scene, sd, rnd, spectral):
 
 
 def conductor_evaluate(scene, sd, w_o, spectral):
+  """Stochastic MS eval (eval_conductor) with the reference pdf."""
+  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+
   frame, _ = normal_frame(sd)
   alpha = mf.clamp_alpha(_roughness(sd))
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
   ok = (w_i_l[..., 2] > em.kEpsilon) & (w_o_l[..., 2] > em.kEpsilon)
-  m = em.normalize(w_i_l + w_o_l)
-  f = _fresnel_at(scene, sd, em.dot(w_i_l, m), spectral)
-  d = mf.ggx_d(m, alpha)
-  g = mf.ggx_g1(w_i_l, m, alpha) * mf.ggx_g1(w_o_l, m, alpha)
+
+  def fres(cos_t):
+    return _fresnel_at(scene, sd, cos_t, spectral)
+
+  value = ms.conductor_eval_walk(fres, w_i_l, w_o_l, alpha,
+                                 w_o[..., 0] + sd.tex[..., 0],
+                                 w_o[..., 1] + sd.tex[..., 1])
   refl = _reflectance(scene, sd, spectral)
-  # bsdf (with cosine folded in): F D G / (4 cos_i cos_o) * cos_o = F D G / (4 cos_i)
-  denom = 4.0 * jnp.maximum(w_i_l[..., 2], 1e-9)
-  bsdf = refl * f * (d * g / denom)[..., None]
-  pdf = mf.vndf_pdf(w_i_l, m, alpha) / jnp.maximum(4.0 * jnp.abs(em.dot(w_o_l, m)), 1e-9)
-  delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
+  bsdf = refl * value
+  pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
+  delta = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1]) <= kDeltaAlpha
   ok = ok & ~delta
   return jnp.where(ok[..., None], bsdf, 0.0), jnp.where(ok, pdf, 0.0)
 

@@ -17,7 +17,18 @@ _MAX_DEPTH = 60
 
 
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
-  """Build from triangle vertices (v0, v0+e1, v0+e2). Returns dict of arrays."""
+  """Build from triangle vertices (v0, v0+e1, v0+e2). Returns dict of arrays.
+
+  Prefers the native C++ builder (etx_tracer_tpu/native) and falls back to
+  this numpy implementation when no toolchain is available.
+  """
+  try:
+    from etx_tracer_tpu import native
+    result = native.build_bvh_native(v0, e1, e2)
+    if result is not None:
+      return result
+  except Exception:
+    pass
   t = v0.shape[0]
   p1 = v0 + e1
   p2 = v0 + e2

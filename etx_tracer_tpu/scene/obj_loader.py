@@ -408,6 +408,16 @@ class ObjSceneLoader:
 
   def load(self, obj_path: str, mtl_override: str | None = None) -> SceneBuilder:
     base_dir = os.path.dirname(os.path.abspath(obj_path))
+
+    # fast path: native C++ parser for the geometry records
+    try:
+      from etx_tracer_tpu import native
+      parsed = native.parse_obj_native(os.path.abspath(obj_path))
+    except Exception:
+      parsed = None
+    if parsed is not None:
+      return self._load_parsed(parsed, base_dir, mtl_override)
+
     positions, normals, uvs = [], [], []
     # per-material triangle soup
     mtl_file = mtl_override
@@ -473,6 +483,49 @@ class ObjSceneLoader:
           np.asarray(vpos, np.float32), np.asarray(vidx, np.int32), mat_idx,
           normals=np.asarray(vnrm, np.float32) if has_normals else None,
           uvs=np.asarray(vuv, np.float32))
+    return self.b
+
+  def _load_parsed(self, parsed: dict, base_dir: str, mtl_override: str | None) -> SceneBuilder:
+    """Assemble meshes from the native parser's arrays."""
+    mtl_file = mtl_override
+    if mtl_file is None and parsed["mtllib"]:
+      mtl_file = os.path.join(base_dir, parsed["mtllib"])
+    if mtl_file and os.path.isfile(mtl_file):
+      self.load_materials(mtl_file, base_dir)
+
+    positions = parsed["positions"]
+    normals = parsed["normals"]
+    uvs = parsed["uvs"]
+    pos_idx = parsed["pos_idx"]
+    nrm_idx = parsed["nrm_idx"]
+    uv_idx = parsed["uv_idx"]
+    tri_mtl = parsed["tri_mtl"]
+    names = parsed["mtl_names"]
+
+    for slot in range(max(len(names), 1)):
+      sel = tri_mtl == slot if names else tri_mtl == -1
+      if names:
+        name = names[slot]
+      else:
+        name = "default"
+        sel = np.ones(len(tri_mtl), bool)
+      if not sel.any():
+        continue
+      mat_idx = self.b.material_names.get(name)
+      if mat_idx is None:
+        mat_idx = self.b.add_material(MaterialDesc(name=name, scattering_spec=1))
+      pi = pos_idx[sel]
+      ni = nrm_idx[sel]
+      ti = uv_idx[sel]
+      corners = pi.reshape(-1)
+      vpos = positions[corners]
+      has_normals = (ni >= 0).all() and normals.shape[0] > 0
+      vnrm = normals[np.clip(ni.reshape(-1), 0, max(normals.shape[0] - 1, 0))] if has_normals else None
+      vuv = np.where((ti.reshape(-1) >= 0)[:, None],
+                     uvs[np.clip(ti.reshape(-1), 0, max(uvs.shape[0] - 1, 0))],
+                     0.0) if uvs.shape[0] > 0 else None
+      idx = np.arange(len(corners), dtype=np.int32).reshape(-1, 3)
+      self.b.add_mesh(vpos, idx, mat_idx, normals=vnrm, uvs=vuv)
     return self.b
 
   def load_materials(self, mtl_path: str, base_dir: str | None = None):

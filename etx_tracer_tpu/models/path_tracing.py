@@ -331,6 +331,14 @@ def pt_step(scene, config, state: PTState) -> PTState:
 
   # --- BSDF sample ---
   rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
+  if config.blue_noise:
+    # first-bounce dims use blue-noise-rotated R2 (path_tracing.cxx:173-178)
+    from etx_tracer_tpu.core import bluenoise
+    px = state.pixel % config.film_width
+    py = state.pixel // config.film_width
+    bn = bluenoise.sample_2d(px, py, state.sample_iter, 0)
+    first_b = (state.path_length == 1)[..., None]
+    rnd_bsdf = rnd_bsdf.at[:, 0:2].set(jnp.where(first_b, bn, rnd_bsdf[:, 0:2]))
   bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
 
   # --- subsurface random walk (handle_hit_ray, :390-443) ---
@@ -369,6 +377,13 @@ def pt_step(scene, config, state: PTState) -> PTState:
   # --- NEE (direct light sampling, :414-435) ---
   rng_state, rnd_sel = rng.next_float(rng_state)
   rng_state, rnd_em = rng.next_2d(rng_state)
+  if config.blue_noise:
+    from etx_tracer_tpu.core import bluenoise
+    bn_em = bluenoise.sample_2d(state.pixel % config.film_width,
+                                state.pixel // config.film_width,
+                                state.sample_iter, 2)
+    first_b = (state.path_length == 1)[..., None]
+    rnd_em = jnp.where(first_b, bn_em, rnd_em)
   can_nee = found & ~is_boundary & (state.path_length + 1 <= config.max_path_length)
   if True:  # NEE block
     em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)

@@ -224,3 +224,5 @@ class SceneConfig:
   material_classes: tuple = (0,)
   # static environment-emitter count (compiled loop bound)
   num_env_emitters: int = 0
+  # blue-noise first-bounce sampling (PTOptions::blue_noise analogue)
+  blue_noise: bool = False

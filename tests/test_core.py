@@ -189,3 +189,42 @@ class TestDistribution:
     pdf, cdf, total = dist.build(np.zeros(3))
     assert total == 0.0
     assert np.all(np.isfinite(pdf))
+
+
+class TestBlueNoise:
+  def test_mask_properties(self):
+    from etx_tracer_tpu.core import bluenoise
+    mask = np.asarray(bluenoise.mask_array())
+    assert mask.shape == (64, 64)
+    # ranks form a permutation of (k+0.5)/N
+    vals = np.sort(mask.reshape(-1))
+    want = (np.arange(64 * 64) + 0.5) / (64 * 64)
+    np.testing.assert_allclose(vals, want, atol=1e-6)
+    # blue noise: neighboring ranks decorrelated -> high-frequency energy;
+    # check neighbor difference is larger than for white noise on average
+    d = np.abs(np.diff(mask, axis=0)).mean()
+    assert d > 0.30  # white noise would be ~1/3, blue noise higher
+
+  def test_sample_2d_stratified_over_samples(self):
+    from etx_tracer_tpu.core import bluenoise
+    px = jnp.zeros(256, jnp.int32)
+    py = jnp.zeros(256, jnp.int32)
+    idx = jnp.arange(256)
+    pts = np.asarray(bluenoise.sample_2d(px, py, idx))
+    assert pts.min() >= 0.0 and pts.max() < 1.0
+    # R2: low discrepancy — mean close to 0.5 much faster than random
+    assert abs(pts[:, 0].mean() - 0.5) < 0.01
+    assert abs(pts[:, 1].mean() - 0.5) < 0.01
+
+
+class TestCheckpoint:
+  def test_film_roundtrip(self, tmp_path):
+    from etx_tracer_tpu.render import film as film_mod
+    from etx_tracer_tpu.utils import checkpoint
+    fs = film_mod.allocate(8, 8)
+    fs = film_mod.accumulate_camera(fs, jnp.ones((8, 8, 3)), jnp.ones((8, 8, 3)), jnp.ones((8, 8, 3)))
+    p = str(tmp_path / "film.npz")
+    checkpoint.save_film(p, fs)
+    back = checkpoint.load_film(p)
+    np.testing.assert_array_equal(np.asarray(back.camera), np.asarray(fs.camera))
+    assert checkpoint.resume_iteration(back) == 1

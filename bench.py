@@ -26,7 +26,7 @@ def main():
   iters = 8
   # warmup/compile (pooled wavefront renderer with lane regeneration);
   # first_iteration is traced, so timed calls reuse the executable
-  sums, rays = path_tracing.render_samples(scene, config, 0, iters)
+  sums, rays = path_tracing.render_samples_static(scene, config, 0, iters)
   jax.block_until_ready(sums.table)
 
   # Under tunneled backends block_until_ready may not force completion;
@@ -36,7 +36,7 @@ def main():
   t0 = time.time()
   total_rays = 0.0
   for rep in range(1, 1 + reps):
-    sums, rays = path_tracing.render_samples(scene, config, rep, iters)
+    sums, rays = path_tracing.render_samples_static(scene, config, rep, iters)
     total_rays += float(rays)  # forces execution + transfer
   dt = time.time() - t0
 

@@ -547,7 +547,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       rng_state, rnd_sel = rng.next_float(rng_state)
       rng_state, rnd_em = rng.next_2d(rng_state)
       em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
-      esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral)
+      esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
+                                         classes=config.emitter_classes)
       w_o = esmp.direction
       b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
       rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)

@@ -63,16 +63,18 @@ def discrete_pdf(scene, emitter_index):
   return w / jnp.maximum(scene.emitters.total_weight, 1e-20)
 
 
-def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -> EmitterSample:
+def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool,
+                   classes: tuple = (0, 1, 2)) -> EmitterSample:
   """emitter_sample_in over the wavefront (scene_emitters.hxx:139-203).
 
-  Handles Area / Directional / Environment(=constant via SPD for now)
-  classes branch-free. All record lookups go through the packed tables
-  (one-hot matmuls for small scenes).
+  Handles Area / Directional / Environment classes branch-free; `classes`
+  (static) restricts which branches compile. All record lookups go through
+  the packed tables (one-hot matmuls for small scenes).
   """
   from etx_tracer_tpu.ops import gather as gops
   from etx_tracer_tpu.scene import packed
 
+  only_area = tuple(classes) == (EC.Area,)
   erows = packed.EmitterRows(gops.take_rows(scene.em_table, emitter_index))
   cls = erows.cls
   profile = erows.profile
@@ -108,6 +110,16 @@ def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -
   value_a = jnp.where(facing[..., None], emission, 0.0)
   pdf_dir_a = jnp.where(facing, pdf_dir_a, 0.0)
 
+  if only_area:
+    return EmitterSample(
+        value=value_a, origin=origin_area, normal=normal_area,
+        direction=dir_area,
+        pdf_sample=discrete_pdf(scene, emitter_index),
+        pdf_area=pdf_area_a, pdf_dir=pdf_dir_a, pdf_dir_out=pdf_dir_out_a,
+        is_delta=jnp.zeros(r, bool),
+        emitter_index=emitter_index,
+        triangle_index=erows.triangle)
+
   # ---- directional emitters (sun disk) ----
   pdir = prows.direction
   ang = prows.angular_size
@@ -131,20 +143,24 @@ def sample_emitter(scene, emitter_index, rnd2, from_point, wl, spectral: bool) -
   dir_uniform = jnp.stack([s * jnp.cos(phi), s * jnp.sin(phi), z], axis=-1)
   pdf_uniform = jnp.full(rnd2.shape[0], 1.0 / (2.0 * em.kDoublePi))
 
-  has_img = prows.emission_img >= 0
-  img_safe = jnp.maximum(prows.emission_img, 0)
-  img_uv, img_pdf = images_mod.sample(scene.images, img_safe, rnd2)
-  off_u = scene.images.offset[img_safe, 0]
-  usc = scene.images.scale_u[img_safe]
-  dir_img = em.uv_to_direction(img_uv, off_u, usc)
-  sin_t = jnp.maximum(jnp.sin(img_uv[..., 1] * em.kPi), em.kEpsilon)
-  pdf_img = img_pdf / (2.0 * em.kPi * em.kPi * sin_t)
-  img_rgb = images_mod.evaluate(scene.images, img_safe, img_uv)[:, :3]
-  value_img = spx.apply_rgb(emission, img_rgb, wl, spectral)
-
-  dir_e = jnp.where(has_img[..., None], dir_img, dir_uniform)
-  pdf_dir_e = jnp.where(has_img, pdf_img, pdf_uniform)
-  value_e = jnp.where(has_img[..., None], value_img, emission)
+  if images_mod.bank_is_empty(scene.images):
+    dir_e = dir_uniform
+    pdf_dir_e = pdf_uniform
+    value_e = emission
+  else:
+    has_img = prows.emission_img >= 0
+    img_safe = jnp.maximum(prows.emission_img, 0)
+    img_uv, img_pdf = images_mod.sample(scene.images, img_safe, rnd2)
+    off_u = scene.images.offset[img_safe, 0]
+    usc = scene.images.scale_u[img_safe]
+    dir_img = em.uv_to_direction(img_uv, off_u, usc)
+    sin_t = jnp.maximum(jnp.sin(img_uv[..., 1] * em.kPi), em.kEpsilon)
+    pdf_img = img_pdf / (2.0 * em.kPi * em.kPi * sin_t)
+    img_rgb = images_mod.evaluate(scene.images, img_safe, img_uv)[:, :3]
+    value_img = spx.apply_rgb(emission, img_rgb, wl, spectral)
+    dir_e = jnp.where(has_img[..., None], dir_img, dir_uniform)
+    pdf_dir_e = jnp.where(has_img, pdf_img, pdf_uniform)
+    value_e = jnp.where(has_img[..., None], value_img, emission)
   origin_e = from_point + dir_e * em.distance_to_sphere(
       from_point, dir_e, scene.bsphere_center, scene.bsphere_radius)[..., None]
 
@@ -348,19 +364,23 @@ def env_contribution(scene, direction, wl, directly_visible, mis_flag, bsdf_pdf,
 
     # environment: image radiance + CDF pdf when mapped, constant otherwise
     from etx_tracer_tpu.render import images as images_mod
-    img = scene.emitter_profiles.emission_img[profile]
-    has_img = img >= 0
-    img_safe = jnp.maximum(img, 0)
-    off_u = scene.images.offset[img_safe, 0]
-    usc = scene.images.scale_u[img_safe]
-    uv_env = em.direction_to_uv(direction, off_u, usc)
-    img_rgb = images_mod.evaluate(scene.images, jnp.full(r, img_safe), uv_env)[:, :3]
-    value_env_img = spx.apply_rgb(value, img_rgb, wl, spectral)
-    sin_t = jnp.maximum(jnp.sin(uv_env[..., 1] * em.kPi), em.kEpsilon)
-    ipdf = images_mod.pdf_at(scene.images, jnp.full(r, img_safe), uv_env)
-    pdf_env_img = ipdf / (2.0 * em.kPi * em.kPi * sin_t)
-    value_env = jnp.where(has_img, value_env_img, value)
-    pdf_dir_e = jnp.where(has_img, pdf_env_img, jnp.full(r, 1.0 / (2.0 * em.kDoublePi)))
+    if images_mod.bank_is_empty(scene.images):
+      value_env = value
+      pdf_dir_e = jnp.full(r, 1.0 / (2.0 * em.kDoublePi))
+    else:
+      img = scene.emitter_profiles.emission_img[profile]
+      has_img = img >= 0
+      img_safe = jnp.maximum(img, 0)
+      off_u = scene.images.offset[img_safe, 0]
+      usc = scene.images.scale_u[img_safe]
+      uv_env = em.direction_to_uv(direction, off_u, usc)
+      img_rgb = images_mod.evaluate(scene.images, jnp.full(r, img_safe), uv_env)[:, :3]
+      value_env_img = spx.apply_rgb(value, img_rgb, wl, spectral)
+      sin_t = jnp.maximum(jnp.sin(uv_env[..., 1] * em.kPi), em.kEpsilon)
+      ipdf = images_mod.pdf_at(scene.images, jnp.full(r, img_safe), uv_env)
+      pdf_env_img = ipdf / (2.0 * em.kPi * em.kPi * sin_t)
+      value_env = jnp.where(has_img, value_env_img, value)
+      pdf_dir_e = jnp.where(has_img, pdf_env_img, jnp.full(r, 1.0 / (2.0 * em.kDoublePi)))
 
     is_dir = cls == EC.Directional
     v = jnp.where(is_dir[..., None], value_dir * pdf_dir_d[..., None], value_env)

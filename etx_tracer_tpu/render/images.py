@@ -54,9 +54,17 @@ def evaluate(bank, idx, uv):
   return (p00 * wx0 + p01 * wx1) * wy0 + (p10 * wx0 + p11 * wx1) * wy1
 
 
+def bank_is_empty(bank) -> bool:
+  """Static check: the builder's dummy 1x1 bank means 'no textures' —
+  callers skip texture code entirely at trace time."""
+  return bank.pixels.shape[0] == 1 and bank.pixels.shape[1] == 1 and bank.pixels.shape[2] == 1
+
+
 def apply_rgb_image(scene, response, img_idx, uv, wl, spectral: bool):
   """response *= image RGB when img_idx >= 0 (apply_image semantics)."""
   from etx_tracer_tpu.render import spectral as spx
+  if bank_is_empty(scene.images):
+    return response
   safe = jnp.maximum(img_idx, 0)
   texel = evaluate(scene.images, safe, uv)
   rgb = texel[:, :3]
@@ -66,6 +74,10 @@ def apply_rgb_image(scene, response, img_idx, uv, wl, spectral: bool):
 
 def scalar_image(scene, img_idx, uv, channel, default):
   """Single-channel lookup (evaluate_image, scene.hxx:272-281)."""
+  if bank_is_empty(scene.images):
+    if hasattr(default, "shape"):
+      return default
+    return jnp.full(img_idx.shape, default)
   safe = jnp.maximum(img_idx, 0)
   texel = evaluate(scene.images, safe, uv)
   ch = jnp.clip(channel, 0, 3)

@@ -435,6 +435,8 @@ class SceneBuilder:
         has_images=len(self.images) > 0,
         material_classes=tuple(sorted({m.cls for m in mats})),
         num_env_emitters=env_count,
+        emitter_classes=tuple(sorted({int(c) for c in inst_cls
+                                      if c != st.EmitterClass.Undefined})) or (0,),
     )
     return scene, config
 

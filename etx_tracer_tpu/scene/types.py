@@ -226,3 +226,5 @@ class SceneConfig:
   num_env_emitters: int = 0
   # blue-noise first-bounce sampling (PTOptions::blue_noise analogue)
   blue_noise: bool = False
+  # emitter classes present (static -> sampling compiles only these)
+  emitter_classes: tuple = (0,)

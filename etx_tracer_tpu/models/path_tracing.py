@@ -79,11 +79,13 @@ def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
   py = (pixel_index // w).astype(jnp.int32)
   state, jit_rnd = rng.next_2d(state)
   # iteration 0 renders pixel centers (film.cxx empty filter); later
-  # iterations jitter in the pixel (box; Blackman-Harris image TBD)
-  jitter = jnp.where((iteration == 0)[..., None], 0.0, jit_rnd - 0.5)
+  # iterations use the Blackman-Harris pixel filter (film.cxx:63-67)
+  jitter = jnp.where((iteration == 0)[..., None], 0.0,
+                     camera_mod.blackman_harris_jitter(jit_rnd))
   uv = camera_mod.film_uv(px, py, w, h, jitter)
   state, lens_rnd = rng.next_2d(state)
-  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
+                                 equirectangular=config.equirectangular)
 
   alive = sample_ids < end_sample
   return PTState(
@@ -309,6 +311,10 @@ def pt_step(scene, config, state: PTState) -> PTState:
   sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
                    geo_n=trows.geo_n, tex=uv, wl=state.wl,
                    medium=state.medium, mat=mat)
+  if config.has_images:
+    from etx_tracer_tpu.render import images as images_mod
+    sd = images_mod.apply_normal_map(scene, sd, trows.geo_n)
+    nrm = sd.nrm
 
   # boundary materials: pass through, swap medium (path_tracing_shared:359-365)
   is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
@@ -723,7 +729,8 @@ def render_samples_mapped(scene, config, pixel_map, first_iteration,
     state, jit_rnd = rng.next_2d(state)
     uv = camera_mod.film_uv(px, py, w, h, jit_rnd - 0.5)
     state, lens_rnd = rng.next_2d(state)
-    rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+    rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
+                                   equirectangular=config.equirectangular)
     return st._replace(ray_o=rays.o, ray_d=rays.d, t_min=rays.t_min,
                        t_max=rays.t_max, rng_state=state, wl=wl,
                        pixel=pix,

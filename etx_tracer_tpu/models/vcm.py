@@ -478,7 +478,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   jitter = jnp.where(iteration == 0, 0.0, jit_rnd - 0.5)
   uv = camera_mod.film_uv(px, py, w, h, jitter)
   rng_state, lens_rnd = rng.next_2d(rng_state)
-  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
+                                 equirectangular=config.equirectangular)
 
   film_pdf = camera_mod.film_pdf_out(scene.camera, rays.o + rays.d)
   state = VCMState(

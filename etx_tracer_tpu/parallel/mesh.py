@@ -123,7 +123,8 @@ def _make_band_payload(scene, config, iteration, row_offset, full_height):
   jitter = jnp.where(iteration == 0, 0.0, jit_rnd - 0.5)
   uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   state, lens_rnd = rng.next_2d(state)
-  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd)
+  rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
+                                 equirectangular=config.equirectangular)
 
   c = spx.channels(config.spectral)
   return path_tracing.PTState(

@@ -12,6 +12,35 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from etx_tracer_tpu.core import math as em
+import numpy as np
+
+
+def _bh_inverse_cdf(n=256):
+  """Inverse CDF of the Blackman-Harris window on [0,1] (the pixel-filter
+  image of film.cxx:63-67,123-135, separable form)."""
+  x = (np.arange(n) + 0.5) / n
+  a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
+  w = (a0 - a1 * np.cos(2 * np.pi * x) + a2 * np.cos(4 * np.pi * x)
+       - a3 * np.cos(6 * np.pi * x))
+  cdf = np.cumsum(w)
+  cdf = cdf / cdf[-1]
+  u = np.linspace(0.0, 1.0, n)
+  inv = np.interp(u, np.concatenate([[0.0], cdf]), np.concatenate([[0.0], x]))
+  return inv.astype(np.float32)
+
+
+_BH_INV = _bh_inverse_cdf()  # numpy: baked as a jit constant at use sites
+
+
+def blackman_harris_jitter(rnd2):
+  """Pixel-filter jitter in [-1,1]^2 distributed as Blackman-Harris."""
+  table = jnp.asarray(_BH_INV)
+  n = _BH_INV.shape[0]
+  def inv(u):
+    idx = jnp.clip((u * (n - 1)).astype(jnp.int32), 0, n - 1)
+    return table[idx]
+  return jnp.stack([inv(rnd2[..., 0]) * 2.0 - 1.0,
+                    inv(rnd2[..., 1]) * 2.0 - 1.0], axis=-1)
 
 
 def film_uv(px, py, width: int, height: int, jitter):
@@ -28,18 +57,38 @@ class RayBundle(NamedTuple):
   t_max: jnp.ndarray  # (R,)
 
 
-def generate_ray(camera, uv: jnp.ndarray, lens_rnd: jnp.ndarray) -> RayBundle:
-  """Perspective camera ray for NDC uv (scene_camera.hxx:26-62)."""
+def generate_ray(camera, uv: jnp.ndarray, lens_rnd: jnp.ndarray,
+                 scene=None, equirectangular: bool = False) -> RayBundle:
+  """Camera ray for NDC uv (scene_camera.hxx:26-62).
+
+  equirectangular (static): panoramic mapping (Camera::Class, camera.hxx:9).
+  scene: when given and the camera has a lens image, DOF samples the
+  aperture shape through the image CDF (bokeh, scene_camera.hxx:43-49).
+  """
   r = uv.shape[0]
   origin = jnp.broadcast_to(camera.position, (r, 3))
+
+  if equirectangular:
+    d = em.from_spherical(uv[..., 0] * em.kPi, uv[..., 1] * em.kHalfPi)
+    return RayBundle(origin, d, jnp.full(r, em.kRayEpsilon), jnp.full(r, em.kMaxFloat))
+
   direction = camera.direction
   s = uv[..., 0:1] * camera.side
   u = uv[..., 1:2] * camera.up / camera.aspect
   w_o = em.normalize(camera.tan_half_fov * (s + u) + direction)
 
-  # depth of field
+  # depth of field; aperture shape via the lens image when present
   use_dof = (camera.lens_radius > em.kEpsilon) & (camera.focal_distance > em.kEpsilon)
-  sensor = em.sample_disk(lens_rnd) * camera.lens_radius
+  sensor = em.sample_disk(lens_rnd)
+  if scene is not None:
+    from etx_tracer_tpu.render import images as images_mod
+    if not images_mod.bank_is_empty(scene.images):
+      has_lens = camera.lens_image >= 0
+      img = jnp.maximum(camera.lens_image, 0)
+      img_uv, _ = images_mod.sample(scene.images, jnp.full(r, img), lens_rnd)
+      shaped = img_uv * 2.0 - 1.0
+      sensor = jnp.where(has_lens, shaped, sensor)
+  sensor = sensor * camera.lens_radius
   dof_origin = origin + camera.side * sensor[..., 0:1] + camera.up * sensor[..., 1:2]
   focal_t = camera.focal_distance / jnp.maximum(em.dot(w_o, direction), 1e-6)
   focus_p = camera.position + focal_t[..., None] * w_o

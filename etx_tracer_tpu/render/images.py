@@ -202,3 +202,42 @@ def build_bank(images: list[dict]):
       col_cdf=jnp.asarray(col_cdf), col_pdf=jnp.asarray(col_pdf),
       offset=jnp.asarray(offset), scale_u=jnp.asarray(scale_u),
       normalization=jnp.asarray(normalization))
+
+
+def apply_normal_map(scene, sd, geo_n):
+  """Tangent-space normal mapping (make_intersection, scene.hxx:213-226).
+
+  Returns the updated ShadingData (no-op when the bank is empty).
+  """
+  if bank_is_empty(scene.images):
+    return sd
+  img = sd.mat.normal_img
+  scale = sd.mat.normal_scale
+  active = (img >= 0) & (scale > em.kEpsilon)
+  texel = evaluate(scene.images, jnp.maximum(img, 0), sd.tex)
+  n_ts = texel[:, :3] * 2.0 - 1.0
+  n_ts = jnp.concatenate([n_ts[:, :2] * scale[..., None], n_ts[:, 2:3]], axis=-1)
+  n_ts = n_ts / jnp.maximum(jnp.linalg.norm(n_ts, axis=-1, keepdims=True), 1e-9)
+  nrm = (sd.tan * n_ts[:, 0:1] + sd.btn * n_ts[:, 1:2] + sd.nrm * n_ts[:, 2:3])
+  nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+
+  # orient_normals_to_hemisphere (scene.hxx:188-200): blend toward geo_n
+  # until the shading normal agrees with the geometric side of w_i
+  w_i = sd.w_i
+  i_dot_g = em.dot(w_i, geo_n)
+  n_fixed = nrm
+  for _ in range(4):
+    bad = (em.dot(w_i, n_fixed) * i_dot_g) <= em.kEpsilon
+    blended = n_fixed * 8.0 + geo_n
+    blended = blended / jnp.maximum(jnp.linalg.norm(blended, axis=-1, keepdims=True), 1e-9)
+    n_fixed = jnp.where(bad[..., None], blended, n_fixed)
+
+  tan = sd.tan - n_fixed * em.dot(sd.tan, n_fixed)[..., None]
+  tan = tan / jnp.maximum(jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-9)
+  btn = jnp.cross(n_fixed, tan)
+
+  m = active[..., None]
+  return sd._replace(
+      nrm=jnp.where(m, n_fixed, sd.nrm),
+      tan=jnp.where(m, tan, sd.tan),
+      btn=jnp.where(m, btn, sd.btn))

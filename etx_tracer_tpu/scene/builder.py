@@ -111,6 +111,8 @@ class SceneBuilder:
     self.clip_near = 1.0 / 256.0
     self.clip_far = 1024.0
     self.camera_medium = kInvalid
+    self.camera_lens_image = kInvalid
+    self.camera_equirectangular = False
     # render settings (scene.hxx:41-46 defaults)
     self.samples = 256
     self.max_path_length = 65535
@@ -359,7 +361,7 @@ class SceneBuilder:
     camera = _build_camera(self.camera_origin, self.camera_target, self.camera_up,
                            self.camera_fov, self.film_size, self.lens_radius,
                            self.focal_distance, self.clip_near, self.clip_far,
-                           self.camera_medium)
+                           self.camera_medium, self.camera_lens_image)
 
     # ---- BVH ----
     bvh_arrays = bvh_build.build_bvh(v0, e1, e2)
@@ -437,6 +439,7 @@ class SceneBuilder:
         num_env_emitters=env_count,
         emitter_classes=tuple(sorted({int(c) for c in inst_cls
                                       if c != st.EmitterClass.Undefined})) or (0,),
+        equirectangular=self.camera_equirectangular,
     )
     return scene, config
 
@@ -491,7 +494,7 @@ def _orthonormal_np(n):
 
 
 def _build_camera(origin, target, up, fov_deg, film_size, lens_radius,
-                  focal_distance, clip_near, clip_far, medium):
+                  focal_distance, clip_near, clip_far, medium, lens_image=-1):
   """Reference build_camera (scene_representation.cxx:579-598) in numpy."""
   f = _normalize(np.asarray(target) - np.asarray(origin))
   s = _normalize(np.cross(f, np.asarray(up, np.float32)))
@@ -532,6 +535,7 @@ def _build_camera(origin, target, up, fov_deg, film_size, lens_radius,
       clip_near=jnp.asarray(np.float32(clip_near)),
       clip_far=jnp.asarray(np.float32(clip_far)),
       medium_index=jnp.asarray(np.int32(medium)),
+      lens_image=jnp.asarray(np.int32(lens_image)),
   )
 
 

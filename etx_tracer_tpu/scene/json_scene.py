@@ -60,6 +60,9 @@ def load_scene(path: str) -> SceneBuilder:
         focal_distance=cam.get("focal-distance", 0.0),
         clip_near=cam.get("clip-near", None),
         clip_far=cam.get("clip-far", None))
+    # "class": "eq" -> equirectangular (scene_representation.cxx:730-731)
+    if cam.get("class") == "eq":
+      b.camera_equirectangular = True
   return b
 
 
@@ -75,7 +78,7 @@ def save_scene(path: str, builder: SceneBuilder, geometry_file: str, materials_f
       "random-termination-start": builder.rr_start,
       "spectral": builder.spectral,
       "camera": {
-          "class": "perspective",
+          "class": "eq" if builder.camera_equirectangular else "perspective",
           "viewport": list(builder.film_size),
           "origin": [float(x) for x in builder.camera_origin],
           "target": [float(x) for x in builder.camera_target],

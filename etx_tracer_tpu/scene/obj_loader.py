@@ -138,7 +138,7 @@ class ObjSceneLoader:
 
   # -- et:: pseudo-materials ------------------------------------------------
 
-  def _parse_camera(self, params: dict):
+  def _parse_camera(self, params: dict, base_dir: str = "."):
     active = params.get("active", "1").strip() not in ("0", "false")
     if self.active_camera_seen or not active:
       pass  # only first active camera wins for now
@@ -158,6 +158,17 @@ class ObjSceneLoader:
                       focal_distance=float(params.get("focal-distance", "0")),
                       clip_near=float(params.get("clip-near", str(1.0 / 256.0))),
                       clip_far=float(params.get("clip-far", "1024")))
+    # panoramic camera (scene_representation.cxx:1057-1059)
+    if params.get("class", "").strip() == "eq":
+      self.b.camera_equirectangular = True
+    # aperture-shape image for bokeh (scene_representation.cxx:1134-1138)
+    if "shape" in params:
+      path = os.path.join(base_dir, params["shape"].strip())
+      if os.path.exists(path):
+        self.b.camera_lens_image = self.b.add_image_file(
+            path, build_cdf=True, srgb_to_linear=False)
+    if "ext_medium" in params:
+      self.b.camera_medium = self.b.medium_names.get(params["ext_medium"].strip(), -1)
     if active:
       self.active_camera_seen = True
 
@@ -532,7 +543,7 @@ class ObjSceneLoader:
     base_dir = base_dir or os.path.dirname(os.path.abspath(mtl_path))
     for name, params in _parse_mtl(mtl_path):
       if name == "et::camera":
-        self._parse_camera(params)
+        self._parse_camera(params, base_dir)
       elif name == "et::medium":
         self._parse_medium(params, base_dir)
       elif name == "et::dir":

@@ -60,6 +60,7 @@ class Camera(NamedTuple):
   clip_near: jnp.ndarray     # ()
   clip_far: jnp.ndarray      # ()
   medium_index: jnp.ndarray  # () int32
+  lens_image: jnp.ndarray    # () int32 aperture-shape image (-1 none)
 
 
 class Materials(NamedTuple):
@@ -228,3 +229,5 @@ class SceneConfig:
   blue_noise: bool = False
   # emitter classes present (static -> sampling compiles only these)
   emitter_classes: tuple = (0,)
+  # panoramic camera (Camera::Class::Equirectangular)
+  equirectangular: bool = False

@@ -122,3 +122,76 @@ class TestFilm:
     assert li[0, 0, 1] == 1.0
     fs = film_mod.commit_light_iteration(fs)
     assert np.asarray(fs.light_iteration).sum() == 0.0
+
+
+class TestCameraFeatures:
+  """Equirectangular camera, aperture-image bokeh, BH pixel filter."""
+
+  def test_blackman_harris_jitter_range(self):
+    from etx_tracer_tpu.render import camera as camera_mod
+    rnd = jnp.asarray(np.random.RandomState(0).uniform(size=(512, 2)).astype(np.float32))
+    j = np.asarray(camera_mod.blackman_harris_jitter(rnd))
+    assert np.all(np.abs(j) <= 1.0)
+    # BH window concentrates mass at the center
+    assert np.abs(j).mean() < 0.35
+    assert abs(j.mean()) < 0.05
+
+  def test_equirectangular_camera(self):
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.models import path_tracing
+    b = cornell.build_cornell_box(film_size=(32, 16), diffuse_only=True,
+                                  max_path_length=3)
+    b.camera_equirectangular = True
+    scene, config = b.build()
+    assert config.equirectangular
+    fs = path_tracing.render(scene, config, iterations=2)
+    img = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
+
+  def test_lens_image_bokeh(self):
+    import dataclasses as dc
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.models import path_tracing
+    b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                  max_path_length=3)
+    # half-plane aperture mask: left half black
+    ap = np.zeros((16, 16, 4), np.float32)
+    ap[:, 8:, :3] = 1.0
+    ap[..., 3] = 1.0
+    b.camera_lens_image = b.add_image(ap, build_cdf=True)
+    b.camera_lens_radius = 0.25
+    b.camera_focal_distance = 3.0
+    scene, config = b.build()
+    fs = path_tracing.render(scene, config, iterations=2)
+    img = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
+
+  def test_normal_map_changes_shading(self):
+    import dataclasses as dc
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.models import path_tracing
+
+    def render_with(normal_img):
+      b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                    max_path_length=3)
+      if normal_img:
+        rs = np.random.RandomState(0)
+        nm = np.zeros((8, 8, 4), np.float32)
+        nm[..., 0:2] = rs.uniform(0.2, 0.8, (8, 8, 2))
+        nm[..., 2] = 1.0
+        nm[..., 3] = 1.0
+        img = b.add_image(nm)
+        fi = b.material_names["white"]
+        import dataclasses as dc2
+        b.materials[fi] = dc2.replace(b.materials[fi], normal_img=img,
+                                      normal_scale=1.0)
+      scene, config = b.build()
+      fs = path_tracing.render(scene, config, iterations=3)
+      return np.asarray(film_mod.result_image(fs))
+
+    a = render_with(True)
+    c = render_with(False)
+    assert np.isfinite(a).all()
+    assert np.abs(a - c).max() > 1e-3

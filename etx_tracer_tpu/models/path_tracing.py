@@ -346,7 +346,8 @@ def pt_step(scene, config, state: PTState) -> PTState:
     bn = bluenoise.sample_2d(px, py, state.sample_iter, 0)
     first_b = (state.path_length == 1)[..., None]
     rnd_bsdf = rnd_bsdf.at[:, 0:2].set(jnp.where(first_b, bn, rnd_bsdf[:, 0:2]))
-  bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+  bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes,
+                              config.diffuse_variations)
 
   # --- subsurface random walk (handle_hit_ray, :390-443) ---
   if config.has_subsurface:
@@ -396,7 +397,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
     em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
     esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
                                       classes=config.emitter_classes)
-    bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes)
+    bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes, config.diffuse_variations)
     # shadow ray from offset shading position toward the emitter point
     sh_o = _shading_pos(sd.geo_n, pos, esmp.direction)
     if config.has_media:

@@ -242,7 +242,7 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     rng_state, lens_rnd = rng.next_2d(rng_state)
     cam = camera_mod.sample_film(scene.camera, pos, lens_rnd)
     w_o = cam.direction
-    bsdf_val, _ = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+    bsdf_val, _ = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
     rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
     sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
     dist = em.length(cam.position - sh_o)
@@ -268,7 +268,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
 
     # --- bsdf sample + vcm_next_ray (:219-283) ---
     rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
-    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes,
+                              config.diffuse_variations)
     fixn = bsdf_dispatch.fix_shading_normal(trows.geo_n, nrm, state.ray_d, bs.w_o)
     new_thr = state.throughput * bs.weight * fixn[..., None]
     rng_state, rr_rnd = rng.next_float(rng_state)
@@ -435,7 +436,7 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
           if hasattr(scene, "max_path_length") else ok & (dist2 <= r2)
       ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
       w_in = grid.w_i[j]
-      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes)
+      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, config.diffuse_variations)
       rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
       w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
       w_camera = w_cam_base + state.d_vm * rev_pdf
@@ -551,7 +552,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
                                          classes=config.emitter_classes)
       w_o = esmp.direction
-      b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+      b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
       rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
       sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
       dist = em.length(esmp.origin - sh_o)
@@ -584,14 +585,14 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         dist2 = jnp.maximum(em.dot(d, d), 1e-12)
         w_o = d / jnp.sqrt(dist2)[..., None]
         # camera side
-        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes)
+        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
         c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
         # light side
         lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
                           tan=verts.tan[:, vi], btn=verts.btn[:, vi],
                           geo_n=lv_geo, tex=verts.uv[:, vi], wl=state.wl,
                           medium=state.medium, mat=lv_mat)
-        lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes)
+        lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes, config.diffuse_variations)
         l_rev = bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
         w_dot_l = -em.dot(lv_nrm, w_o)
         w_dot_c = em.dot(nrm, w_o)
@@ -620,7 +621,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
 
     # --- continue: bsdf sample + recurrences ---
     rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
-    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes)
+    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes,
+                              config.diffuse_variations)
     new_thr = state.throughput * bs.weight
     rng_state, rr_rnd = rng.next_float(rng_state)
     new_depth = state.path_depth + 1

@@ -60,7 +60,7 @@ NUM_SAMPLE_RND = 7
 
 
 def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
-           classes: tuple) -> lobes.BSDFSampleR:
+           classes: tuple, variations: tuple = (0,)) -> lobes.BSDFSampleR:
   """bsdf::sample over the wavefront. `classes`: static material class set."""
   r = sd.w_i.shape[0]
   c = spx.channels(spectral)
@@ -72,6 +72,8 @@ def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
   for cls in classes:
     if cls == MC.Principled:
       out = _principled_sample(scene, sd, rnd, spectral)
+    elif cls == MC.Diffuse:
+      out = lobes.diffuse_sample(scene, sd, rnd, spectral, variations)
     elif cls in _SAMPLERS:
       out = _SAMPLERS[cls](scene, sd, rnd, spectral)
     else:  # Void
@@ -80,7 +82,8 @@ def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
   return result
 
 
-def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
+def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple,
+             variations: tuple = (0,)):
   """bsdf::evaluate: returns (bsdf_with_cos (R,C), pdf (R,))."""
   r = sd.w_i.shape[0]
   c = spx.channels(spectral)
@@ -89,6 +92,8 @@ def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
   for cls in classes:
     if cls == MC.Principled:
       b, p = _principled_evaluate(scene, sd, w_o, spectral)
+    elif cls == MC.Diffuse:
+      b, p = lobes.diffuse_evaluate(scene, sd, w_o, spectral, variations)
     elif cls in _EVALUATORS:
       b, p = _EVALUATORS[cls](scene, sd, w_o, spectral)
     else:
@@ -100,6 +105,7 @@ def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
 
 
 def pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
+  # pdfs never depend on the diffuse variation (bsdf_various.hxx:113-121)
   _, p = evaluate(scene, sd, w_o, spectral, classes)
   return p
 

@@ -130,31 +130,70 @@ def _roughness(sd, scene=None):
 # ---------------------------------------------------------------------------
 
 
-def diffuse_sample(scene, sd, rnd, spectral):
+def diffuse_sample(scene, sd, rnd, spectral, variations=(0,)):
+  """DiffuseBSDF::sample (bsdf_various.hxx:74-102). `variations` is the
+  static set of diffuse_variation values present: 0 Lambert, 1 Heitz
+  rough-diffuse MS walk, 2 vMF analytic (d'Eon & Weidlich)."""
   frame, ent = normal_frame(sd)
   local_w_o = em.sample_cosine_distribution(rnd[..., 0:2], 1.0)
-  w_o = em.from_local(frame, local_w_o)
   albedo = _scattering(scene, sd, spectral)
+  weight = albedo
   pdf = em.kInvPi * local_w_o[..., 2]
+  if 1 in variations or 2 in variations:
+    from etx_tracer_tpu.render.bsdf import multiscatter as ms
+    w_i_l = em.to_local(frame, -sd.w_i)
+    w_i_l = em.normalize(jnp.concatenate(
+        [w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1))
+    alpha = mf.clamp_alpha(_roughness(sd, scene))
+    if 1 in variations:
+      wo1, e1 = ms.diffuse_sample_walk(w_i_l, alpha, albedo, rnd)
+      m1 = (sd.mat.diffuse_variation == 1)
+      local_w_o = jnp.where(m1[..., None], wo1, local_w_o)
+      weight = jnp.where(m1[..., None], e1, weight)
+      pdf = jnp.where(m1, em.kInvPi * jnp.maximum(local_w_o[..., 2], 0.0), pdf)
+    if 2 in variations:
+      f2 = ms.vmf_diffuse_brdf(w_i_l, local_w_o, alpha, albedo)
+      m2 = (sd.mat.diffuse_variation == 2)
+      # bsdf*cos/pdf = f*cos / (cos/pi) = f*pi
+      weight = jnp.where(m2[..., None], f2 * em.kPi, weight)
+  w_o = em.from_local(frame, local_w_o)
   r = sd.w_i.shape[0]
   return BSDFSampleR(
-      w_o=w_o, weight=albedo, pdf=pdf, eta=jnp.ones(r),
+      w_o=w_o, weight=weight, pdf=pdf, eta=jnp.ones(r),
       is_delta=jnp.zeros(r, bool), is_diffuse=jnp.ones(r, bool),
       is_reflection=jnp.ones(r, bool), medium=sd.medium)
 
 
-def diffuse_evaluate(scene, sd, w_o, spectral):
+def diffuse_evaluate(scene, sd, w_o, spectral, variations=(0,)):
+  """DiffuseBSDF::evaluate via diffuse_layer (bsdf_various.hxx:36-72)."""
   frame, _ = normal_frame(sd)
   cos_o = em.to_local(frame, w_o)[..., 2]
   albedo = _scattering(scene, sd, spectral)
   valid = cos_o > em.kEpsilon
-  func = albedo * em.kInvPi
-  bsdf = func * jnp.maximum(cos_o, 0.0)[..., None]
+  bsdf = albedo * em.kInvPi * jnp.maximum(cos_o, 0.0)[..., None]
+  if 1 in variations or 2 in variations:
+    from etx_tracer_tpu.render.bsdf import multiscatter as ms
+    w_i_l = em.to_local(frame, -sd.w_i)
+    w_i_l = em.normalize(jnp.concatenate(
+        [w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1))
+    w_o_l = em.to_local(frame, w_o)
+    alpha = mf.clamp_alpha(_roughness(sd, scene))
+    if 1 in variations:
+      v1 = ms.diffuse_eval_walk(w_i_l, w_o_l, alpha, albedo,
+                                w_o[..., 0] + sd.tex[..., 0],
+                                w_o[..., 1] + sd.tex[..., 1])
+      m1 = (sd.mat.diffuse_variation == 1)
+      bsdf = jnp.where(m1[..., None], v1, bsdf)
+    if 2 in variations:
+      f2 = ms.vmf_diffuse_brdf(w_i_l, w_o_l, alpha, albedo)
+      m2 = (sd.mat.diffuse_variation == 2)
+      bsdf = jnp.where(m2[..., None], f2 * jnp.maximum(cos_o, 0.0)[..., None], bsdf)
   pdf = em.kInvPi * jnp.maximum(cos_o, 0.0)
   return jnp.where(valid[..., None], bsdf, 0.0), jnp.where(valid, pdf, 0.0)
 
 
 def diffuse_pdf(scene, sd, w_o, spectral):
+  # pdf is cosine-hemisphere for all variations (bsdf_various.hxx:113-121)
   frame, _ = normal_frame(sd)
   cos_o = em.to_local(frame, w_o)[..., 2]
   return jnp.maximum(cos_o, 0.0) * em.kInvPi

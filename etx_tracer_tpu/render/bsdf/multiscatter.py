@@ -264,3 +264,299 @@ def conductor_eval_walk(fresnel_fn, w_i, w_o, alpha, seed_a, seed_b):
 
   ok = (w_i[..., 2] > 0.0) & (w_o[..., 2] > 0.0)
   return jnp.where(ok[..., None], 0.5 * single + multiple, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Heitz rough-diffuse multiple-scattering walk (bsdf_external.hxx:548-692)
+# ---------------------------------------------------------------------------
+
+
+def _sample_phase_diffuse(wm, rnd):
+  """Cosine-lobe phase around wm (samplePhaseFunction_diffuse,
+  bsdf_external.hxx:555-577)."""
+  xy = em.sample_disk(rnd)
+  x, y = xy[..., 0], xy[..., 1]
+  z = jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x - y * y))
+  u, v = em.orthonormal_basis(wm)
+  return x[..., None] * u + y[..., None] * v + z[..., None] * wm
+
+
+def diffuse_sample_walk(w_i, alpha, albedo, rnd):
+  """Rough-diffuse sampling walk (sample_diffuse, bsdf_external.hxx:660-692).
+
+  w_i local (z>0, away from surface); albedo (R,C). Returns (w_o, energy).
+  """
+  r = w_i.shape[0]
+  c = albedo.shape[-1]
+  state = _seed_from_floats(rnd[..., 3] + 0.377, rnd[..., 4] + 0.911)
+
+  w0 = -w_i
+  lam0 = _lambda(w0, alpha)
+
+  def cond(carry):
+    state, w, lam, h, energy, order, active, escaped = carry
+    return jnp.any(active)
+
+  def body(carry):
+    state, w, lam, h, energy, order, active, escaped = carry
+    c1 = _c1(h)
+    g1 = _g1(w, lam, c1)
+    state, u_h = rng.next_float(state)
+    h_new = sample_height(w, lam, c1, g1, h, u_h)
+    just_escaped = active & (h_new >= em.kMaxFloat * 0.5)
+    escaped = escaped | just_escaped
+    active = active & ~just_escaped
+
+    state, rnd2 = rng.next_2d(state)
+    slope_rnd = jnp.where((order == 0)[..., None], rnd[..., 0:2], rnd2)
+    wm = sample_microfacet_normal(-w, alpha, slope_rnd)
+    state, rnd3 = rng.next_2d(state)
+    w_new = _sample_phase_diffuse(wm, rnd3)
+
+    too_many = active & (order + 1 > kOrderMax)
+    nan_bad = active & (~jnp.isfinite(w_new[..., 2]) | ~jnp.isfinite(h_new))
+    dead = too_many | nan_bad
+
+    energy = jnp.where(active[..., None], energy * albedo, energy)
+    energy = jnp.where(dead[..., None], 0.0, energy)
+    w = jnp.where(active[..., None], w_new, w)
+    lam = jnp.where(active, _lambda(w_new, alpha), lam)
+    h = jnp.where(active, h_new, h)
+    order = order + active.astype(jnp.int32)
+    active = active & ~dead
+    return state, w, lam, h, energy, order, active, escaped
+
+  carry = (state, w0, lam0, jnp.ones(r), jnp.ones((r, c)),
+           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros(r, bool))
+  state, w, lam, h, energy, order, active, escaped = jax.lax.while_loop(cond, body, carry)
+  return w, jnp.where(escaped[..., None], energy, 0.0)
+
+
+def diffuse_eval_walk(w_i, w_o, alpha, albedo, seed_a, seed_b):
+  """Stochastic rough-diffuse eval (eval_diffuse, bsdf_external.hxx:580-628).
+
+  Returns the bsdf with cosine folded in (the reference's eval.bsdf).
+  """
+  r = w_i.shape[0]
+  c = albedo.shape[-1]
+  state = _seed_from_floats(seed_a, seed_b)
+
+  lam_o = _lambda(w_o, alpha)
+
+  def cond(carry):
+    state, w, lam, h, energy, order, active, res = carry
+    return jnp.any(active)
+
+  def body(carry):
+    state, w, lam, h, energy, order, active, res = carry
+    c1 = _c1(h)
+    g1 = _g1(w, lam, c1)
+    state, u_h = rng.next_float(state)
+    h_new = sample_height(w, lam, c1, g1, h, u_h)
+    esc = active & (h_new >= em.kMaxFloat * 0.5)
+    active2 = active & ~esc
+
+    state, rnd2 = rng.next_2d(state)
+    wm = sample_microfacet_normal(-w, alpha, rnd2)
+    phase = energy * albedo * jnp.maximum(0.0, em.dot(wm, w_o))[..., None] * em.kInvPi
+
+    # order 0: closed-form G2/G1; else shadowing G1(w_o) at current height
+    g2_g1 = -lam / (lam_o - lam)
+    first = active2 & (order == 0)
+    res = res + jnp.where((first & (g2_g1 > 0))[..., None], phase * g2_g1[..., None], 0.0)
+    c1_sh = _c1(h_new)
+    g1_sh = _g1(w_o, lam_o, c1_sh)
+    later = active2 & (order > 0)
+    res = res + jnp.where(later[..., None], phase * g1_sh[..., None], 0.0)
+
+    state, rnd3 = rng.next_2d(state)
+    w_new = _sample_phase_diffuse(wm, rnd3)
+    energy = jnp.where(active2[..., None], energy * albedo, energy)
+
+    bad = active2 & ((order + 1 > kOrderMax) | ~jnp.isfinite(w_new[..., 2]) | ~jnp.isfinite(h_new))
+    # reference zeroes the whole estimate on a bad walk
+    res = jnp.where(bad[..., None], 0.0, res)
+    w = jnp.where(active2[..., None], w_new, w)
+    lam = jnp.where(active2, _lambda(w_new, alpha), lam)
+    h = jnp.where(active2, h_new, h)
+    order = order + active2.astype(jnp.int32)
+    active = active2 & ~bad
+    return state, w, lam, h, energy, order, active, res
+
+  carry = (state, -w_i, _lambda(-w_i, alpha), jnp.ones(r), jnp.ones((r, c)),
+           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros((r, c)))
+  state, w, lam, h, energy, order, active, res = jax.lax.while_loop(cond, body, carry)
+  return res
+
+
+# ---------------------------------------------------------------------------
+# vMF diffuse: "VMF Diffuse: A Unified Rough Diffuse BRDF" (d'Eon & Weidlich),
+# analytic fit (bsdf_external.hxx:694-893)
+# ---------------------------------------------------------------------------
+
+
+def _erf(x):
+  # Buermann series (bsdf_external.hxx:700-704)
+  sqrt_pi = jnp.sqrt(em.kPi)
+  e = jnp.exp(-x * x)
+  return (jnp.sign(x) * 2.0 / sqrt_pi * jnp.sqrt(1.0 - e)
+          * (sqrt_pi / 2.0 + 31.0 / 200.0 * e - 341.0 / 8000.0 * e * e))
+
+
+def _fm(ui, uo, r, c):
+  big_c = jnp.sqrt(jnp.maximum(1.0 - c, 0.0))
+  ck = (1.0 - 0.5441615108674713 * big_c - 0.45302863761693374 * (1.0 - c)) / (
+      1.0 + 1.4293127703064865 * big_c)
+  ca = c / jnp.power(1.0075 + 1.16942 * big_c,
+                     jnp.arctan((0.0225272 + (-0.264641 + r) * r) * _erf(c)))
+  return jnp.maximum(
+      0.0, 0.384016 * (-0.341969 + ca) * ca * ck
+      * (-0.0578978 / (0.287663 + ui * uo) + jnp.abs(-0.0898863 + jnp.tanh(r))))
+
+
+def _sigma_beckmann(u, m):
+  m2 = jnp.maximum(m * m, 1e-12)
+  u = jnp.clip(u, -1.0 + 1e-6, 1.0 - 1e-6)
+  u2 = u * u
+  expansion = -0.25 * m2 * (u + jnp.abs(u))
+  t = (jnp.exp(u2 / (m2 * (-1.0 + u2))) * m * jnp.sqrt(1.0 - u2)) / jnp.sqrt(em.kPi)
+  return (t + u * (1.0 + _erf(u / (m * jnp.sqrt(1.0 - u2))))) / 2.0 + expansion
+
+
+def _coth(x):
+  return 1.0 / jnp.tanh(x)
+
+
+def _sigma_vmf(u, m):
+  """vMF cross-section fit (sigmaVMF, bsdf_external.hxx:742-788)."""
+  m2 = m * m
+  m4 = m2 * m2
+  m8 = m4 * m4
+  u2 = u * u
+  u4 = u2 * u2
+  u6 = u2 * u4
+  u8 = u4 * u4
+  u10 = u6 * u4
+  u12 = u6 * u6
+  arg = jnp.minimum(2.0 / jnp.maximum(m2, 1e-6), 60.0)
+  coth2m2 = _coth(arg)
+  sinh2m2 = jnp.sinh(arg)
+  exp2m2 = jnp.exp(arg)
+
+  large = (0.25 - 0.25 * u * (m2 - 2.0 * coth2m2)
+           + 0.0390625 * (-1.0 + 3.0 * u2) * (4.0 + 3.0 * m4 - 6.0 * m2 * coth2m2))
+
+  q2 = (1.0132789611816406e-6 * (35.0 - 1260.0 * u2 + 6930.0 * u4 - 12012.0 * u6 + 6435.0 * u8)
+        * (1.0 + coth2m2)
+        * (-256.0 - 315.0 * m4 * (128.0 + 33.0 * m4 * (80.0 + 364.0 * m4 + 195.0 * m8))
+           + 18.0 * m2 * (256.0 + 385.0 * m4 * (32.0 + 312.0 * m4 + 585.0 * m8)) * coth2m2)
+        * sinh2m2)
+  q1 = (9.12696123123169e-8 * (-63.0 + 3465.0 * u2 - 30030.0 * u4 + 90090.0 * u6 - 109395.0 * u8 + 46189.0 * u10)
+        * (1.0 + coth2m2)
+        * (-1024.0 - 495.0 * m4 * (768.0 + 91.0 * m4 * (448.0 + 15.0 * m4 * (448.0 + 1836.0 * m4 + 969.0 * m8)))
+           + 110.0 * m2 * (256.0 + 117.0 * m4 * (256.0 + 21.0 * m4 * (336.0 + 85.0 * m4 * (32.0 + 57.0 * m4)))) * coth2m2)
+        * sinh2m2)
+  q0 = (4.3655745685100555e-9 * (231.0 - 18018.0 * u2 + 225225.0 * u4 - 1.02102e6 * u6 + 2.078505e6 * u8 - 1.939938e6 * u10 + 676039.0 * u12)
+        * (1.0 + coth2m2)
+        * (-4096.0 - 3003.0 * m4 * (1024.0 + 45.0 * m4 * (2560.0 + 51.0 * m4 * (1792.0 + 285.0 * m4 * (80.0 + 308.0 * m4 + 161.0 * m8))))
+           + 78.0 * m2 * (2048.0 + 385.0 * m4 * (1280.0 + 153.0 * m4 * (512.0 + 57.0 * m4 * (192.0 + 35.0 * m4 * (40.0 + 69.0 * m4))))) * coth2m2)
+        * sinh2m2)
+
+  mid = (large
+         - 0.000732421875 * (3.0 - 30.0 * u2 + 35.0 * u4)
+         * (16.0 + 180.0 * m4 + 105.0 * m8 - 10.0 * m2 * (8.0 + 21.0 * m4) * coth2m2)
+         + 0.000049591064453125 * (-5.0 + 105.0 * u2 - 315.0 * u4 + 231.0 * u6)
+         * (64.0 + 105.0 * m4 * (32.0 + 180.0 * m4 + 99.0 * m8)
+            - 42.0 * m2 * (16.0 + 240.0 * m4 + 495.0 * m8) * coth2m2)
+         + q2 / exp2m2 - q1 / exp2m2 + q0 / exp2m2)
+
+  return jnp.where(m < 0.25, _sigma_beckmann(u, m),
+                   jnp.where(m > 0.9, large, mid))
+
+
+def vmf_diffuse_brdf(w_i, w_o, alpha, albedo):
+  """vMFdiffuseBRDF (bsdf_external.hxx:787-893). w_i/w_o local, z>0.
+
+  Returns the BRDF value (no cosine), shape (R,C).
+  """
+  r = jnp.clip(jnp.sqrt(alpha[..., 0] * alpha[..., 1]), 0.0, 1.0 - 4.0 * em.kEpsilon)
+
+  ui = jnp.clip(w_i[..., 2], 1e-5, 1.0)
+  uo = jnp.clip(w_o[..., 2], 1e-5, 1.0)
+  sin_i = jnp.sqrt(jnp.maximum(1.0 - ui * ui, 0.0))
+  sin_o = jnp.sqrt(jnp.maximum(1.0 - uo * uo, 0.0))
+  both = (sin_i > 0.0) & (sin_o > 0.0)
+  safe_i = jnp.maximum(sin_i, 1e-9)
+  safe_o = jnp.maximum(sin_o, 1e-9)
+  cos_phi_diff = jnp.where(
+      both,
+      jnp.clip(jnp.clip(w_i[..., 0] / safe_i, -1, 1) * jnp.clip(w_o[..., 0] / safe_o, -1, 1)
+               + jnp.clip(w_i[..., 1] / safe_i, -1, 1) * jnp.clip(w_o[..., 1] / safe_o, -1, 1),
+               -1.0, 1.0), 0.0)
+  phi = jnp.arccos(cos_phi_diff)
+
+  m = -jnp.log(jnp.maximum(1.0 - jnp.sqrt(r), 1e-7))
+  sigmai = _sigma_vmf(ui, m)
+  sigmao = _sigma_vmf(uo, m)
+  sigmano = _sigma_vmf(-uo, m)
+  sigio = sigmai * sigmao
+  sigdenom = jnp.maximum(uo * sigmai + ui * sigmano, 1e-9)
+
+  r2 = r * r
+  sqr = jnp.sqrt(r)
+  r25 = r2 * sqr
+  r3 = r * r2
+  r4 = r2 * r2
+  r45 = r4 * sqr
+  r5 = r3 * r2
+  ui2 = jnp.clip(ui * ui, 0.0, 1.0)
+  uo2 = jnp.clip(uo * uo, 0.0, 1.0)
+  sqrtuiuo = jnp.sqrt((1.0 - ui2) * (1.0 - uo2))
+  uio = jnp.maximum(ui + uo, 1e-6)
+
+  c100 = 1.0 + (-0.1 * r + 0.84 * r4) / (1.0 + 9.0 * r3)
+  c101 = (0.0173 * r + 20.4 * r2 - 9.47 * r3) / (1.0 + 7.46 * r)
+  c102 = (-0.927 * r + 2.37 * r2) / (1.24 + r2)
+  c103 = (-0.110 * r - 1.54 * r2) / (1.0 - 1.05 * r + 7.1 * r2)
+  f10 = ((c100 + c101 * ui * uo + c102 * ui2 * uo2 + c103 * (ui2 + uo2)) * sigio) / sigdenom
+
+  c110 = (0.54 * r - 0.182 * r3) / (1.0 + 1.32 * r2)
+  c111 = (-0.097 * r + 0.62 * r2 - 0.375 * r3) / (1.0 + 0.4 * r3)
+  c112 = 0.283 + 0.862 * r - 0.681 * r2
+  f11 = (sqrtuiuo * (c110 + c111 * ui * uo)) * jnp.power(jnp.maximum(sigio, 1e-12), c112) / sigdenom
+
+  c120 = (2.25 * r + 5.1 * r2) / (1.0 + 9.8 * r + 32.4 * r2)
+  c121 = (-4.32 * r + 6.0 * r3) / (1.0 + 9.7 * r + 287.0 * r3)
+  f12 = ((1.0 - ui2) * (1.0 - uo2) * (c120 + c121 * uo) * (c120 + c121 * ui)) / uio
+
+  c200 = (0.00056 * r + 0.226 * r2) / (1.0 + 7.07 * r2)
+  c201 = (-0.268 * r + 4.57 * r2 - 12.04 * r3) / (1.0 + 36.7 * r3)
+  c202 = (0.418 * r + 2.52 * r2 - 0.97 * r3) / (1.0 + 10.0 * r2)
+  c203 = (0.068 * r - 2.25 * r2 + 2.65 * r3) / (1.0 + 21.4 * r3)
+  c204 = (0.050 * r - 4.22 * r3) / (1.0 + 17.6 * r2 + 43.1 * r3)
+  f20 = (c200 + c201 * ui * uo + c203 * ui2 * uo2 + c202 * (ui + uo) + c204 * (ui2 + uo2)) / uio
+
+  c210 = (-0.049 * r - 0.027 * r3) / (1.0 + 3.36 * r2)
+  c211 = (2.77 * r2 - 8.332 * r25 + 6.073 * r3) / (1.0 + 50.0 * r4)
+  c212 = (-0.431 * r2 - 0.295 * r3) / (1.0 + 23.9 * r3)
+  f21 = (sqrtuiuo * (c210 + c211 * ui * uo + c212 * (ui + uo))) / uio
+
+  c300 = (-0.083 * r3 + 0.262 * r4) / (1.0 - 1.9 * r2 + 38.6 * r4)
+  c301 = (-0.627 * r2 + 4.95 * r25 - 2.44 * r3) / (1.0 + 31.5 * r4)
+  c302 = (0.33 * r2 + 0.31 * r25 + 1.4 * r3) / (1.0 + 20.0 * r3)
+  c303 = (-0.74 * r2 + 1.77 * r25 - 4.06 * r3) / (1.0 + 215.0 * r5)
+  c304 = (-1.026 * r3) / (1.0 + 5.81 * r2 + 13.2 * r3)
+  f30 = (c300 + c301 * ui * uo + c303 * ui2 * uo2 + c302 * (ui + uo) + c304 * (ui2 + uo2)) / uio
+
+  c310 = (0.028 * r2 - 0.0132 * r3) / (1.0 + 7.46 * r2 - 3.315 * r4)
+  c311 = (-0.134 * r2 + 0.162 * r25 + 0.302 * r3) / (1.0 + 57.5 * r45)
+  c312 = (-0.119 * r2 + 0.5 * r25 - 0.207 * r3) / (1.0 + 18.7 * r3)
+  f31 = (sqrtuiuo * (c310 + c311 * ui * uo + c312 * (ui + uo))) / uio
+
+  a = albedo
+  t0 = a * jnp.maximum(0.0, f10 + f11 * jnp.cos(phi) * 2.0 + f12 * jnp.cos(2.0 * phi) * 2.0)[..., None]
+  t1 = a * a * jnp.maximum(0.0, f20 + f21 * jnp.cos(phi) * 2.0)[..., None]
+  t2 = a * a * a * jnp.maximum(0.0, f30 + f31 * jnp.cos(phi) * 2.0)[..., None]
+  t4 = _fm(ui[..., None], uo[..., None], r[..., None], a)
+  result = em.kInvPi * (t0 + t1 + t2) + t4
+  return jnp.where((r > 0.0)[..., None], result, albedo * em.kInvPi)

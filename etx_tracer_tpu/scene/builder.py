@@ -440,6 +440,7 @@ class SceneBuilder:
         emitter_classes=tuple(sorted({int(c) for c in inst_cls
                                       if c != st.EmitterClass.Undefined})) or (0,),
         equirectangular=self.camera_equirectangular,
+        diffuse_variations=tuple(sorted({m.diffuse_variation for m in mats})) or (0,),
     )
     return scene, config
 

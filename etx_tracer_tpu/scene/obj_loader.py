@@ -339,6 +339,13 @@ class ObjSceneLoader:
     if "ext_medium" in params:
       desc.ext_medium = self.b.medium_names.get(params["ext_medium"].strip(), -1)
 
+    if "diffuse" in params:
+      # rough-diffuse variation (scene_representation.cxx:1825-1830)
+      try:
+        desc.diffuse_variation = int(params["diffuse"].split()[0])
+      except (ValueError, IndexError):
+        pass
+
     if "thinfilm" in params:
       toks = params["thinfilm"].split()
       i = 0

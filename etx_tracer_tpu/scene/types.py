@@ -231,3 +231,5 @@ class SceneConfig:
   emitter_classes: tuple = (0,)
   # panoramic camera (Camera::Class::Equirectangular)
   equirectangular: bool = False
+  # diffuse variations present (material.hxx:86; 0 Lambert, 1 Heitz MS, 2 vMF)
+  diffuse_variations: tuple = (0,)

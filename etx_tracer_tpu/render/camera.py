@@ -15,32 +15,39 @@ from etx_tracer_tpu.core import math as em
 import numpy as np
 
 
-def _bh_inverse_cdf(n=256):
-  """Inverse CDF of the Blackman-Harris window on [0,1] (the pixel-filter
-  image of film.cxx:63-67,123-135, separable form)."""
-  x = (np.arange(n) + 0.5) / n
-  a0, a1, a2, a3 = 0.35875, 0.48829, 0.14128, 0.01168
-  w = (a0 - a1 * np.cos(2 * np.pi * x) + a2 * np.cos(4 * np.pi * x)
-       - a3 * np.cos(6 * np.pi * x))
-  cdf = np.cumsum(w)
-  cdf = cdf / cdf[-1]
-  u = np.linspace(0.0, 1.0, n)
-  inv = np.interp(u, np.concatenate([[0.0], cdf]), np.concatenate([[0.0], x]))
-  return inv.astype(np.float32)
-
-
-_BH_INV = _bh_inverse_cdf()  # numpy: baked as a jit constant at use sites
+# Radial Blackman-Harris pixel filter (film.cxx:63-67): w(d) = BH window at
+# 2*pi*(0.5 + d/2), sampled with pdf ~ w(d)*d on the unit disk. The inverse
+# radial CDF is baked as a piecewise polynomial fit (max err ~1.5e-4 in d^2
+# on [0,0.9], ~0.011 in d on the tail) so sampling is pure VPU math — a
+# table gather here cost ~3x end-to-end throughput, and a one-hot matmul
+# lookup ~20%.
+_BH_SPLIT = 0.90
+_BH_MAIN = np.array([19.85930973, -70.57191808, 105.75280208, -86.13626149,
+                     41.3327709, -11.74788296, 1.97336551, -0.09055742,
+                     0.16622468, -5.155e-05], np.float32)
+_BH_TAIL = np.array([0.96960741, 3.9751558, -33.19148686, 109.26038337,
+                     -170.57134179, 103.87089986], np.float32)
 
 
 def blackman_harris_jitter(rnd2):
-  """Pixel-filter jitter in [-1,1]^2 distributed as Blackman-Harris."""
-  table = jnp.asarray(_BH_INV)
-  n = _BH_INV.shape[0]
-  def inv(u):
-    idx = jnp.clip((u * (n - 1)).astype(jnp.int32), 0, n - 1)
-    return table[idx]
-  return jnp.stack([inv(rnd2[..., 0]) * 2.0 - 1.0,
-                    inv(rnd2[..., 1]) * 2.0 - 1.0], axis=-1)
+  """Pixel-filter jitter in [-1,1]^2 with the radial BH distribution
+  (Film::sample + generate_filter_image, film.cxx:123-145)."""
+  phi = 2.0 * em.kPi * rnd2[..., 0]
+  t = rnd2[..., 1]
+  # main branch: d^2 = poly(t)
+  g = jnp.zeros_like(t)
+  for c in _BH_MAIN:
+    g = g * t + c
+  d_main = jnp.sqrt(jnp.maximum(g, 0.0))
+  # tail branch: 1-d = sum c_k * (1-t)^(k/3)
+  s = jnp.maximum(1.0 - t, 0.0)
+  s3 = jnp.cbrt(s)
+  one_minus = (_BH_TAIL[0] * s3 + _BH_TAIL[1] * s3 * s3 + _BH_TAIL[2] * s
+               + _BH_TAIL[3] * s * s3 + _BH_TAIL[4] * s * s3 * s3
+               + _BH_TAIL[5] * s * s)
+  d_tail = 1.0 - one_minus
+  d = jnp.clip(jnp.where(t > _BH_SPLIT, d_tail, d_main), 0.0, 1.0)
+  return jnp.stack([d * jnp.cos(phi), d * jnp.sin(phi)], axis=-1)
 
 
 def film_uv(px, py, width: int, height: int, jitter):

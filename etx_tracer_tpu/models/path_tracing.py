@@ -842,8 +842,13 @@ def render_adaptive(scene, config, max_iterations: int | None = None,
 
 @functools.partial(jax.jit, static_argnames=("config", "num_iterations", "pool_size"))
 def render_samples_static(scene, config, first_iteration, num_iterations: int,
-                          pool_size: int = 1 << 17):
-  """Pool with static lane->pixel ownership; returns (FilmSums, rays)."""
+                          pool_size: int = 1 << 17, unroll: int = 4):
+  """Pool with static lane->pixel ownership; returns (FilmSums, rays).
+
+  unroll: pt_steps per while_loop iteration. Top-level loop iterations carry
+  a large fixed dispatch overhead (~0.5 ms/iter through the device tunnel,
+  measured with a scalar-carry fori_loop), so several wavefront steps are
+  fused into one loop body to amortize it."""
   w, h = config.film_width, config.film_height
   npix = w * h
   n = num_iterations
@@ -873,6 +878,11 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
     return jnp.any(state.alive)
 
   def body(carry):
+    for _ in range(unroll):
+      carry = _body_once(carry)
+    return carry
+
+  def _body_once(carry):
     state, counter, lane_film = carry
     new_state = pt_step(scene, config, state)
     died = state.alive & ~new_state.alive

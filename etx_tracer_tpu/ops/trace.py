@@ -163,6 +163,7 @@ def intersect_brute(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
 # ---------------------------------------------------------------------------
 
 _STACK_DEPTH = 64
+_PALLAS_TRI_LIMIT = 4096
 
 
 def _ray_aabb(node_min, node_max, o, inv_d, t_min, t_max):
@@ -258,7 +259,7 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
   the Pallas kernel (ops/pallas_trace.py) takes over on TPU when available.
   """
   num_t = scene.tri_v0.shape[0]
-  if prefer_brute and num_t <= 4096:
+  if prefer_brute and num_t <= _PALLAS_TRI_LIMIT:
     from etx_tracer_tpu.ops import pallas_trace
     if pallas_trace.available():
       return pallas_trace.intersect_pallas(
@@ -268,6 +269,16 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
 
 
 def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
-  """Boolean occlusion query for shadow rays (rt.cxx trace usage in NEE)."""
+  """Boolean occlusion query for shadow rays (rt.cxx trace usage in NEE).
+
+  Uses the dedicated any-hit Pallas kernel when available — no closest
+  reduction or u/v bookkeeping, ~25% less per-triangle work than
+  trace_closest."""
+  num_t = scene.tri_v0.shape[0]
+  if num_t <= _PALLAS_TRI_LIMIT:
+    from etx_tracer_tpu.ops import pallas_trace
+    if pallas_trace.available():
+      return pallas_trace.occluded_pallas(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
   hit = trace_closest(scene, o, d, t_min, t_max, tri_mask)
   return hit.found & (hit.t <= t_max)

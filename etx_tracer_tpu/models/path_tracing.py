@@ -319,6 +319,22 @@ def pt_step(scene, config, state: PTState) -> PTState:
   # boundary materials: pass through, swap medium (path_tracing_shared:359-365)
   is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
 
+  # stochastic alpha test (alpha_test_pass, scene_bsdf.hxx:128-144): the hit
+  # is skipped with probability 1 - opacity*image_alpha; the lane continues
+  # straight through like a boundary, medium unchanged
+  if config.has_alpha:
+    rng_state, a_rnd = rng.next_float(rng_state)
+    alpha_v = mat.opacity
+    if config.has_images:
+      from etx_tracer_tpu.render import images as images_mod2
+      tex_a = images_mod2.scalar_image(scene, mat.scattering_img, uv,
+                                       jnp.full_like(mat.scattering_img, 3), 1.0)
+      alpha_v = alpha_v * tex_a
+    alpha_skip = found & ~is_boundary & (mat.cls != MC.Void) & (alpha_v <= a_rnd)
+  else:
+    alpha_skip = jnp.zeros(r, bool)
+  pass_through = is_boundary | alpha_skip
+
   # --- direct emitter hit (handle_direct_emitter, :325-353) ---
   directly_visible = state.path_length == 1
   e_value, _, e_pdf_dir, _ = emitters_mod.area_radiance(
@@ -326,7 +342,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
   e_discrete = emitters_mod.discrete_pdf(scene, jnp.maximum(emitter_idx, 0))
   no_weight = directly_visible | ~state.mis_flag
   mis_w = jnp.where(no_weight, 1.0, em.power_heuristic(state.bsdf_pdf, e_discrete * e_pdf_dir))
-  direct_ok = found & ~is_boundary & (e_pdf_dir > 0.0)
+  direct_ok = found & ~pass_through & (e_pdf_dir > 0.0)
   accumulated = accumulated + jnp.where(
       direct_ok[..., None], throughput * e_value * mis_w[..., None], 0.0)
 
@@ -392,7 +408,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
                                 state.sample_iter, 2)
     first_b = (state.path_length == 1)[..., None]
     rnd_em = jnp.where(first_b, bn_em, rnd_em)
-  can_nee = found & ~is_boundary & (state.path_length + 1 <= config.max_path_length)
+  can_nee = found & ~pass_through & (state.path_length + 1 <= config.max_path_length)
   if True:  # NEE block
     em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
     esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
@@ -426,16 +442,17 @@ def pt_step(scene, config, state: PTState) -> PTState:
   ent = em.dot(nrm, state.ray_d) < 0.0
   boundary_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
 
-  new_d = jnp.where(is_boundary[..., None], state.ray_d, bs.w_o)
+  pt_medium = jnp.where(is_boundary, boundary_medium, state.medium)
+  new_d = jnp.where(pass_through[..., None], state.ray_d, bs.w_o)
   new_o = _shading_pos(sd.geo_n, pos, new_d)
-  new_medium = jnp.where(is_boundary, boundary_medium, bs.medium)
-  new_throughput = jnp.where(is_boundary[..., None], throughput, throughput * bs.weight)
-  new_bsdf_pdf = jnp.where(is_boundary, state.bsdf_pdf, bs.pdf)
-  new_mis = jnp.where(is_boundary, state.mis_flag, ~bs.is_delta)
-  new_eta = jnp.where(is_boundary, state.eta, state.eta * bs.eta)
-  new_len = state.path_length + jnp.where(is_boundary, 0, 1)
+  new_medium = jnp.where(pass_through, pt_medium, bs.medium)
+  new_throughput = jnp.where(pass_through[..., None], throughput, throughput * bs.weight)
+  new_bsdf_pdf = jnp.where(pass_through, state.bsdf_pdf, bs.pdf)
+  new_mis = jnp.where(pass_through, state.mis_flag, ~bs.is_delta)
+  new_eta = jnp.where(pass_through, state.eta, state.eta * bs.eta)
+  new_len = state.path_length + jnp.where(pass_through, 0, 1)
   continue_ok = found
-  sample_ok = is_boundary | (bs.pdf > 0.0)
+  sample_ok = pass_through | (bs.pdf > 0.0)
 
   if config.has_media:
     # medium-scatter lanes continue along the sampled phase direction
@@ -453,7 +470,7 @@ def pt_step(scene, config, state: PTState) -> PTState:
   # Russian roulette (not applied to boundary pass-through)
   rng_state, rr_rnd = rng.next_float(rng_state)
   cont, new_throughput = _random_continue(new_len, config.rr_start, new_eta, rr_rnd, new_throughput)
-  cont = cont | is_boundary
+  cont = cont | pass_through
 
   alive = continue_ok & cont & sample_ok & (new_len <= config.max_path_length)
 

@@ -102,7 +102,19 @@ def _fresnel_at(scene, sd, cos_theta, spectral, swap=None):
   if spectral:
     tf_wl = sd.wl[..., None]
   else:
-    tf_wl = jnp.broadcast_to(jnp.array([610.0, 537.0, 450.0]), cos_theta.shape + (3,))
+    # RGB mode: jitter the per-channel wavelengths inside the channel bands
+    # (evaluate_thinfilm, scene_bsdf.hxx:118-123; Thinfilm::kRGBWavelengths
+    # material.hxx:20-21) to decorrelate interference banding. The draw is
+    # derived from ray bits (deterministic per lane, varies per sample).
+    from etx_tracer_tpu.core import rng as _rng
+    import jax as _jax
+    ba = _jax.lax.bitcast_convert_type(sd.w_i[..., 0] + sd.tex[..., 0], jnp.uint32)
+    bb = _jax.lax.bitcast_convert_type(sd.w_i[..., 1] + sd.tex[..., 1], jnp.uint32)
+    st_tf = _rng.seed(ba, bb)
+    st_tf, j3 = _rng.next_n(st_tf, 3)
+    base = jnp.array([610.0, 537.0, 450.0])
+    span = jnp.array([45.0, 47.0, 23.5])
+    tf_wl = base + span * (2.0 * j3 - 1.0)
   return mf.fresnel(cos_theta, ext_eta, ext_k, int_eta, int_k, spectral,
                     int_is_conductor=is_cond, tf_thickness=tf_thick,
                     tf_eta=tf_eta, tf_k=tf_k, tf_wavelengths=tf_wl)

@@ -441,6 +441,12 @@ class SceneBuilder:
                                       if c != st.EmitterClass.Undefined})) or (0,),
         equirectangular=self.camera_equirectangular,
         diffuse_variations=tuple(sorted({m.diffuse_variation for m in mats})) or (0,),
+        has_alpha=(any(m.opacity < 1.0 for m in mats)
+                   or any(m.scattering_img >= 0
+                          and self.images[m.scattering_img]["pixels"].ndim == 3
+                          and self.images[m.scattering_img]["pixels"].shape[-1] >= 4
+                          and float(self.images[m.scattering_img]["pixels"][..., 3].min()) < 1.0
+                          for m in mats)),
     )
     return scene, config
 

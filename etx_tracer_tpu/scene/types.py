@@ -233,3 +233,5 @@ class SceneConfig:
   equirectangular: bool = False
   # diffuse variations present (material.hxx:86; 0 Lambert, 1 Heitz MS, 2 vMF)
   diffuse_variations: tuple = (0,)
+  # stochastic alpha testing compiled in (alpha_test_pass, scene_bsdf.hxx:128)
+  has_alpha: bool = False

@@ -195,3 +195,28 @@ class TestCameraFeatures:
     c = render_with(False)
     assert np.isfinite(a).all()
     assert np.abs(a - c).max() > 1e-3
+
+
+class TestAlphaOpacity:
+  """Stochastic alpha test (alpha_test_pass, scene_bsdf.hxx:128-144)."""
+
+  def test_transparent_wall_vanishes(self):
+    import dataclasses as dc
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.models import path_tracing
+
+    def render(opacity):
+      b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                    max_path_length=4)
+      fi = b.material_names["red"]
+      b.materials[fi] = dc.replace(b.materials[fi], opacity=opacity)
+      scene, config = b.build()
+      fs = path_tracing.render(scene, config, iterations=4)
+      return np.asarray(film_mod.result_image(fs)), config
+
+    opaque, c1 = render(1.0)
+    clear, c2 = render(0.0)
+    assert not c1.has_alpha and c2.has_alpha
+    left_o = opaque[:, :3].mean()
+    left_c = clear[:, :3].mean()
+    assert left_c < left_o * 0.5

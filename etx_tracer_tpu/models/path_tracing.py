@@ -371,8 +371,9 @@ def pt_step(scene, config, state: PTState) -> PTState:
     from etx_tracer_tpu.scene.types import SubsurfaceClass
     sss_path = (found & (mat.subsurface_cls != SubsurfaceClass.Disabled)
                 & bs.is_reflection & bs.is_diffuse)
-    gather, rng_state = sss_mod.gather_rw(
-        scene, sd, mat_idx, pos, rng_state, sss_path, spectral)
+    gather, rng_state = sss_mod.gather(
+        scene, sd, mat_idx, pos, rng_state, sss_path, spectral,
+        config.subsurface_classes)
     sss_ok = sss_path & gather.found
     # exit-side shading: substitute the exit surface for continuation + NEE
     # (the subsequent NEE block then evaluates at the exit point, mirroring

@@ -433,6 +433,9 @@ class SceneBuilder:
         rr_start=self.rr_start, noise_threshold=self.noise_threshold,
         has_media=len(self.mediums) > 0,
         has_subsurface=any(m.subsurface_cls != st.SubsurfaceClass.Disabled for m in mats),
+        subsurface_classes=tuple(sorted(
+            {m.subsurface_cls for m in mats
+             if m.subsurface_cls != st.SubsurfaceClass.Disabled})) or (1,),
         has_env_emitters=env_count > 0,
         has_images=len(self.images) > 0,
         material_classes=tuple(sorted({m.cls for m in mats})),

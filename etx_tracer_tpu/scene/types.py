@@ -235,3 +235,5 @@ class SceneConfig:
   diffuse_variations: tuple = (0,)
   # stochastic alpha testing compiled in (alpha_test_pass, scene_bsdf.hxx:128)
   has_alpha: bool = False
+  # subsurface classes present (1 RandomWalk, 2 ChristensenBurley)
+  subsurface_classes: tuple = (1,)

@@ -155,3 +155,45 @@ class TestSubsurface:
     fs2 = path_tracing.render(scene2, config2, iterations=4)
     img2 = np.asarray(film_mod.result_image(fs2))
     assert np.abs(img - img2).mean() > 0.003  # SSS visibly changes the boxes
+
+
+class TestSubsurfaceCB:
+  """Christensen-Burley disk gather (scene_bssrdf_subsurface.hxx:89-145)."""
+
+  def test_cb_matches_rw_brightness(self):
+    import dataclasses as dc
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.scene import types as st
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+    from etx_tracer_tpu.core import spectrum as sp
+
+    def render(cls):
+      b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                    max_path_length=5)
+      fi = b.material_names["white"]
+      d = b.add_spectrum(sp.SpectralDistribution.rgb_reflectance([0.5, 0.3, 0.1]))
+      b.materials[fi] = dc.replace(b.materials[fi], subsurface_cls=cls,
+                                   subsurface_spec=d)
+      scene, config = b.build()
+      fs = path_tracing.render(scene, config, iterations=6)
+      return np.asarray(film_mod.result_image(fs))
+
+    cb = render(st.SubsurfaceClass.ChristensenBurley)
+    rw = render(st.SubsurfaceClass.RandomWalk)
+    assert np.isfinite(cb).all() and np.isfinite(rw).all()
+    assert cb.mean() > 0 and rw.mean() > 0
+    # the two estimators integrate the same transport; means agree loosely
+    ratio = cb.mean() / rw.mean()
+    assert 0.6 < ratio < 1.7, ratio
+
+  def test_sample_s_r_distribution(self):
+    from etx_tracer_tpu.render import subsurface as sss
+    rs = np.random.RandomState(0)
+    u = jnp.asarray(rs.uniform(size=20000).astype(np.float32))
+    r = np.asarray(sss._sample_s_r(u))
+    assert np.isfinite(r).all() and (r >= 0).all()
+    # CDF(1) for the Burley mixture: 0.25 weight on exp(1), 0.75 on exp(1/3)
+    frac = (r < 1.0).mean()
+    expect = 0.25 * (1 - np.exp(-1.0)) + 0.75 * (1 - np.exp(-1.0 / 3.0))
+    assert abs(frac - expect) < 0.02

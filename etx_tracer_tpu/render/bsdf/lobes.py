@@ -9,9 +9,9 @@ Conventions:
 - the "normal frame" is flipped so the incident ray arrives from local +z
   (BSDFData::get_normal_frame, bsdf.hxx:33-36); `entering` records the flip.
 - responses are (R, C) arrays, C=1 spectral / C=3 RGB (render/spectral.py).
-- rough conductor/dielectric currently use single-scattering GGX with
-  visible-NDF sampling; the reference's Heitz multiple-scattering walk
-  (bsdf_external.hxx) is a planned energy-compensation upgrade.
+- rough conductor and dielectric use the Heitz multiple-scattering walks
+  (bsdf_external.hxx) for sampling and stochastic evaluation; delta lanes
+  take exact closed forms.
 """
 
 from __future__ import annotations
@@ -382,6 +382,29 @@ def conductor_pdf(scene, sd, w_o, spectral):
 # ---------------------------------------------------------------------------
 
 
+def _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral):
+  """DielectricBSDF::pdf (bsdf_dielectric.hxx:148-249) in the flipped frame:
+  visible-NDF prob x fresnel selection x |dwh/dwo| + |cos_o|."""
+  reflection = w_o_l[..., 2] > 0.0
+  m_r = em.normalize(w_i_l + w_o_l)
+  m_t = em.normalize(w_i_l + w_o_l * eta[..., None])
+  m = jnp.where(reflection[..., None], m_r, m_t)
+  m = m * jnp.where(m[..., 2] >= 0.0, 1.0, -1.0)[..., None]
+  om = em.dot(w_o_l, m)
+  im = em.dot(w_i_l, m)
+  dwh_r = 1.0 / jnp.maximum(4.0 * jnp.abs(om), 1e-9)
+  sqrt_denom = im + eta * om
+  dwh_t = em.sqr(eta) * jnp.abs(om) / jnp.maximum(em.sqr(sqrt_denom), 1e-12)
+  dwh = jnp.where(reflection, dwh_r, dwh_t)
+  d = mf.ggx_d(m, alpha_c)
+  lam_i = mf.smith_lambda(w_i_l, alpha_c)
+  prob = jnp.maximum(0.0, im * d / jnp.maximum(
+      (1.0 + lam_i) * jnp.maximum(w_i_l[..., 2], 1e-6), 1e-9))
+  f = spx.monochromatic(_fresnel_at(scene, sd, im, spectral, swap=~ent), spectral)
+  prob = prob * jnp.where(reflection, f, 1.0 - f)
+  return jnp.abs(prob * dwh) + jnp.abs(w_o_l[..., 2])
+
+
 def dielectric_sample(scene, sd, rnd, spectral):
   frame, ent = normal_frame(sd)
   alpha = _roughness(sd)
@@ -436,11 +459,35 @@ def dielectric_sample(scene, sd, rnd, spectral):
   ok = jnp.where(pick_reflect, ok_r, ok_t)
   weight = jnp.where(ok[..., None], weight, 0.0)
 
-  pdf_m = mf.vndf_pdf(w_i_l, m, alpha_c)
-  dwh_dwo_r = 1.0 / jnp.maximum(4.0 * jnp.abs(em.dot(w_o_l, m)), 1e-9)
-  sqrt_denom = em.dot(w_i_l, m) + eta * em.dot(w_o_l, m)
-  dwh_dwo_t = em.sqr(eta) * jnp.abs(em.dot(w_o_l, m)) / jnp.maximum(em.sqr(sqrt_denom), 1e-12)
-  pdf_rough = pdf_m * p_sel * jnp.where(pick_reflect, dwh_dwo_r, dwh_dwo_t)
+  # rough lanes: the Heitz MS walk replaces the single-scatter sample
+  # (DielectricBSDF::sample, bsdf_dielectric.hxx:73-147)
+  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+
+  def fres_walk(cos_t, outside):
+    return _fresnel_at(scene, sd, cos_t, spectral,
+                       swap=jnp.logical_xor(ent, outside))
+
+  def mono(v):
+    return spx.monochromatic(v, spectral)
+
+  wo_walk, e_walk, out_walk, escaped = ms.dielectric_sample_walk(
+      fres_walk, mono, eta, w_i_l, alpha_c, rnd)
+  refl_walk = out_walk
+  e_mono = mono(e_walk)
+  tint = e_walk / jnp.maximum(e_mono, 1e-9)[..., None]
+  factor_w = em.sqr(1.0 / jnp.maximum(eta, 1e-6))
+  w_walk = tint * jnp.where(refl_walk[..., None], refl, scat * factor_w[..., None])
+  w_walk = jnp.where((escaped & (e_mono > 0.0))[..., None], w_walk, 0.0)
+
+  use_walk = ~delta
+  pick_reflect = jnp.where(use_walk, refl_walk, pick_reflect)
+  w_o_l = jnp.where(use_walk[..., None], wo_walk, w_o_l)
+  weight = jnp.where(use_walk[..., None], w_walk, weight)
+  ok = jnp.where(use_walk,
+                 escaped & (jnp.abs(wo_walk[..., 2]) > em.kEpsilon), ok)
+  weight = jnp.where(ok[..., None], weight, 0.0)
+
+  pdf_rough = _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral)
   pdf = jnp.where(delta, p_sel, pdf_rough)
   pdf = jnp.where(ok, pdf, 0.0)
 
@@ -486,21 +533,25 @@ def dielectric_evaluate(scene, sd, w_o, spectral):
   refl_alb = _reflectance(scene, sd, spectral)
   scat_alb = _scattering(scene, sd, spectral)
 
-  # reflection: F D G / (4 cos_i); transmission (radiance, with 1/eta^2):
-  fr_r = f * (d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None] * refl_alb
-  om = em.dot(w_o_l, m)
-  im = cos_im
-  sqrt_denom = im + eta * om
-  tr_scale = (jnp.abs(im * om) / jnp.maximum(cos_i * jnp.abs(cos_o), 1e-9)) \
-      * em.sqr(eta) / jnp.maximum(em.sqr(sqrt_denom), 1e-12)
-  fr_t = (1.0 - f) * (tr_scale * d * g)[..., None] * scat_alb / em.sqr(eta)[..., None] \
-      * jnp.abs(cos_o)[..., None]
-  bsdf = jnp.where(reflection[..., None], fr_r, fr_t)
+  # stochastic MS eval (eval_dielectric via the walk; DielectricBSDF::evaluate
+  # bsdf_dielectric.hxx:149-196: bsdf-with-cos = 2*walk * image * |cos_o|)
+  from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
-  pdf_m = mf.vndf_pdf(w_i_l, m, alpha_c)
-  dwh_r = 1.0 / jnp.maximum(4.0 * jnp.abs(om), 1e-9)
-  dwh_t = em.sqr(eta) * jnp.abs(om) / jnp.maximum(em.sqr(sqrt_denom), 1e-12)
-  pdf = pdf_m * jnp.where(reflection, f_mono * dwh_r, (1.0 - f_mono) * dwh_t)
+  def fres_walk(cos_t, outside):
+    return _fresnel_at(scene, sd, cos_t, spectral,
+                       swap=jnp.logical_xor(ent, outside))
+
+  def mono(v):
+    return spx.monochromatic(v, spectral)
+
+  wo_outside = reflection
+  value = ms.dielectric_eval_walk(
+      fres_walk, mono, eta, w_i_l, w_o_l, wo_outside, alpha_c,
+      w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1])
+  func = 2.0 * value * jnp.where(reflection[..., None], refl_alb, scat_alb)
+  bsdf = func * jnp.abs(cos_o)[..., None]  # eval.bsdf = func*|cos| (:193)
+
+  pdf = _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral)
 
   ok = (cos_i > em.kEpsilon) & (jnp.abs(cos_o) > em.kEpsilon) & ~delta
   return jnp.where(ok[..., None], bsdf, 0.0), jnp.where(ok, pdf, 0.0)

@@ -560,3 +560,249 @@ def vmf_diffuse_brdf(w_i, w_o, alpha, albedo):
   t4 = _fm(ui[..., None], uo[..., None], r[..., None], a)
   result = em.kInvPi * (t0 + t1 + t2) + t4
   return jnp.where((r > 0.0)[..., None], result, albedo * em.kInvPi)
+
+
+# ---------------------------------------------------------------------------
+# Heitz multiple-scattering DIELECTRIC walk (bsdf_external.hxx:355-556,
+# DielectricBSDF::sample bsdf_dielectric.hxx:73-147)
+# ---------------------------------------------------------------------------
+
+
+def _refract_local(wi, wm, eta):
+  """refract (bsdf_external.hxx:369-374); eta (R,)."""
+  cos_i = em.dot(wi, wm)
+  cos_t2 = 1.0 - (1.0 - cos_i * cos_i) / (eta * eta)
+  cos_t = -jnp.sqrt(jnp.maximum(cos_t2, 0.0))
+  return wm * (cos_i / eta + cos_t)[..., None] - wi / eta[..., None]
+
+
+def _abgam(x):
+  g = (1.0 / 12.0, 1.0 / 30.0, 53.0 / 210.0, 195.0 / 371.0,
+       22999.0 / 22737.0, 29944523.0 / 19733142.0, 109535241009.0 / 48264275462.0)
+  k = 0.918938518
+  cont = g[6] / x
+  for gi in (g[5], g[4], g[3], g[2], g[1]):
+    cont = gi / (x + cont)
+  return k - x + (x - 0.5) * jnp.log(x) + g[0] / (x + cont)
+
+
+def _gamma_fn(x):
+  return jnp.exp(_abgam(x + 5.0)) / (x * (x + 1.0) * (x + 2.0) * (x + 3.0) * (x + 4.0))
+
+
+def _beta_fn(m, n):
+  return _gamma_fn(m) * _gamma_fn(n) / jnp.maximum(_gamma_fn(m + n), 1e-20)
+
+
+def dielectric_sample_walk(fresnel_fn, mono_fn, eta, w_i, alpha, rnd):
+  """MS dielectric sampling walk. w_i local with z>0 (direction_scale folded
+  by the caller); fresnel_fn(cos, outside_mask)->(R,C); mono_fn collapses a
+  response to (R,); eta (R,) = int/ext for the walk's start orientation.
+
+  Returns (w_o_local, weight (R,C), outside (R,) bool, escaped (R,) bool);
+  w_o is in the walk frame — the caller re-applies direction_scale.
+  """
+  r = w_i.shape[0]
+  state = _seed_from_floats(rnd[..., 3] + 0.531, rnd[..., 4] + 0.207)
+  c = fresnel_fn(jnp.ones(r), jnp.ones(r, bool)).shape[-1]
+
+  w0 = -w_i
+  lam0 = _lambda(w0, alpha)
+
+  def cond(carry):
+    state, w, lam, h, energy, outside, order, active, escaped = carry
+    return jnp.any(active)
+
+  def body(carry):
+    state, w, lam, h, energy, outside, order, active, escaped = carry
+    c1 = _c1(h)
+    g1 = _g1(w, lam, c1)
+    state, u_h = rng.next_float(state)
+    h_new = sample_height(w, lam, c1, g1, h, u_h)
+    just_escaped = active & (h_new >= em.kMaxFloat * 0.5)
+    escaped = escaped | just_escaped
+    active = active & ~just_escaped
+    h = jnp.where(active, h_new, h)
+
+    state, rnd2 = rng.next_2d(state)
+    state, rnd_r = rng.next_float(state)
+    slope_rnd = jnp.where((order == 0)[..., None], rnd[..., 0:2], rnd2)
+    refl_rnd = jnp.where(order == 0, rnd[..., 2], rnd_r)
+
+    wi_cur = -w
+    wm = sample_microfacet_normal(wi_cur, alpha, slope_rnd)
+    i_dot_m = em.dot(wi_cur, wm)
+    f = fresnel_fn(i_dot_m, outside)
+    f_mono = mono_fn(f)
+    reflect = refl_rnd < f_mono
+
+    eta_cur = jnp.where(outside, eta, 1.0 / eta)
+    w_refl = -wi_cur + 2.0 * wm * i_dot_m[..., None]
+    w_refr = em.normalize(_refract_local(wi_cur, wm, eta_cur))
+
+    new_w = jnp.where(reflect[..., None], w_refl, -w_refr)
+    energy = jnp.where(active[..., None],
+                       energy * jnp.where(reflect[..., None], f, 1.0 - f), energy)
+    h = jnp.where(active & ~reflect, -h, h)
+    outside = outside ^ (active & ~reflect)
+
+    too_many = active & (order + 1 > kOrderMax)
+    nan_bad = active & (~jnp.isfinite(new_w[..., 2]) | ~jnp.isfinite(h))
+    dead = too_many | nan_bad
+    energy = jnp.where(dead[..., None], 0.0, energy)
+
+    w = jnp.where(active[..., None], new_w, w)
+    lam = jnp.where(active, _lambda(w, alpha), lam)
+    order = order + active.astype(jnp.int32)
+    active = active & ~dead
+    return state, w, lam, h, energy, outside, order, active, escaped
+
+  carry = (state, w0, lam0, jnp.ones(r), jnp.ones((r, c)), jnp.ones(r, bool),
+           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros(r, bool))
+  state, w, lam, h, energy, outside, order, active, escaped = \
+      jax.lax.while_loop(cond, body, carry)
+  w_o = jnp.where(outside[..., None], w, -w)
+  return w_o, jnp.where(escaped[..., None], energy, 0.0), outside, escaped
+
+
+def _phase_reflection_d(fresnel_fn, w, lam, wo, alpha, outside):
+  """phase_function_reflection (bsdf_external.hxx:207-239)."""
+  proj = jnp.where(w[..., 2] < -0.9999, 1.0, lam * w[..., 2])
+  wh = em.normalize(-w + wo)
+  wdh = em.dot(-w, wh)
+  f = fresnel_fn(wdh, outside)
+  d = mf.ggx_d(wh, alpha)
+  val = f * (d / jnp.maximum(4.0 * proj, 1e-9))[..., None]
+  ok = ((w[..., 2] <= 0.9999) & (proj >= em.kEpsilon)
+        & (wh[..., 2] >= 0.0) & (wdh >= em.kEpsilon))
+  return jnp.where(ok[..., None], val, 0.0)
+
+
+def _phase_transmission_d(fresnel_fn, w, lam, wo, eta_rel, alpha, outside):
+  """evalPhaseFunction_dielectric transmission branch (:386-404)."""
+  proj = jnp.where(w[..., 2] < -0.9999, 1.0, lam * w[..., 2])
+  wh = em.normalize(-w + wo * eta_rel[..., None])
+  wh = wh * jnp.where(wh[..., 2] > 0, 1.0, -1.0)[..., None]
+  i_dot_m = -em.dot(wh, w)
+  o_dot_m = em.dot(wo, wh)
+  d = mf.ggx_d(wh, alpha)
+  scalar = (eta_rel * eta_rel * i_dot_m * jnp.maximum(0.0, -o_dot_m) * d
+            / jnp.maximum(proj * em.sqr(i_dot_m + eta_rel * o_dot_m), 1e-12))
+  f = fresnel_fn(i_dot_m, outside)
+  val = (1.0 - f) * scalar[..., None]
+  ok = (w[..., 2] <= 0.9999) & (proj >= em.kEpsilon) & (i_dot_m >= 0.0)
+  return jnp.where(ok[..., None], val, 0.0)
+
+
+def _mis_weight_dielectric(wi, wo, reflection, eta, alpha):
+  """MISweight_dielectric (bsdf_external.hxx:457-468)."""
+  wh_r = em.normalize(wi + wo)
+  wh_t = em.normalize(wi + wo * eta[..., None])
+  wh = jnp.where(reflection[..., None], wh_r, wh_t)
+  wh = wh * jnp.where(wh[..., 2] > 0, 1.0, -1.0)[..., None]
+  d = mf.ggx_d(wh, alpha)
+  same = reflection & jnp.all(jnp.abs(wi + wo) < 1e-6, axis=-1)
+  return jnp.where(same, 1.0, d)
+
+
+def dielectric_eval_walk(fresnel_fn, mono_fn, eta, w_i, w_o, wo_outside,
+                         alpha, seed_a, seed_b):
+  """Stochastic MS dielectric eval (eval_dielectric, bsdf_external.hxx:466-556).
+
+  w_i local z>0; w_o local; wo_outside (R,) bool: True when w_o leaves on the
+  incident side (reflection configs). Returns 0.5*single + multiple, the
+  reference's estimator (:555).
+  """
+  r = w_i.shape[0]
+  state = _seed_from_floats(seed_a, seed_b)
+  c = fresnel_fn(jnp.ones(r), jnp.ones(r, bool)).shape[-1]
+
+  lam_sh = _lambda(jnp.where(wo_outside[..., None], w_o, -w_o), alpha)
+  wo_sh = jnp.where(wo_outside[..., None], w_o, -w_o)
+
+  single = jnp.zeros((r, c))
+  multiple = jnp.zeros((r, c))
+
+  def cond(carry):
+    state, w, lam, h, energy, outside, order, active, single, multiple, wi_mis = carry
+    return jnp.any(active)
+
+  def body(carry):
+    state, w, lam, h, energy, outside, order, active, single, multiple, wi_mis = carry
+    c1 = _c1(h)
+    g1 = _g1(w, lam, c1)
+    state, u_h = rng.next_float(state)
+    h_new = sample_height(w, lam, c1, g1, h, u_h)
+    esc = active & (h_new >= em.kMaxFloat * 0.5)
+    active2 = active & ~esc
+    h = jnp.where(active2, h_new, h)
+    order_new = order + active2.astype(jnp.int32)
+
+    # --- next-event estimation toward w_o ---
+    # ray is "outside" in its own frame when outside==True; target direction
+    # and relative eta depend on side agreement (eval_dielectric :516-531)
+    refl_cfg = outside == wo_outside   # same side -> reflection-type phase
+    eta_out = eta                      # when walking outside
+    eta_in = 1.0 / eta                 # when walking inside
+    eta_rel = jnp.where(outside, eta_out, eta_in)
+    wo_tgt = jnp.where(outside[..., None], w_o, -w_o)
+
+    ph_r = _phase_reflection_d(fresnel_fn, w, lam, wo_tgt, alpha, outside)
+    ph_t = _phase_transmission_d(fresnel_fn, w, lam, wo_tgt, eta_rel, alpha, outside)
+    phase = jnp.where(refl_cfg[..., None], ph_r, ph_t)
+
+    # single scattering: closed-form G2/G1 (order 1)
+    lam_ray = lam
+    g2_g1_refl = (1.0 + (-lam_ray - 1.0)) / (1.0 + (-lam_ray - 1.0) + lam_sh)
+    g2_g1_tran = (1.0 + (-lam_ray - 1.0)) * _beta_fn(
+        jnp.maximum(1.0 + (-lam_ray - 1.0), 1e-4), jnp.maximum(1.0 + lam_sh, 1e-4))
+    g2_g1 = jnp.where(wo_outside, g2_g1_refl, g2_g1_tran)
+    g2_g1 = jnp.where(jnp.isfinite(g2_g1), g2_g1, 0.0)
+    is_first = active2 & (order_new == 1)
+    single = jnp.where(is_first[..., None], phase * g2_g1[..., None], single)
+
+    # multiple scattering: shadowing G1 + microsurface MIS (order > 1)
+    mis_other = _mis_weight_dielectric(-w, wo_tgt, refl_cfg, eta_rel, alpha)
+    mis = wi_mis / jnp.maximum(wi_mis + mis_other, 1e-20)
+    h_sh = jnp.where(outside == wo_outside, h, -h)
+    c1_sh = _c1(h_sh)
+    g1_sh = _g1(wo_sh, lam_sh, c1_sh)
+    later = active2 & (order_new > 1)
+    multiple = multiple + jnp.where(later[..., None],
+                                    phase * (g1_sh * mis)[..., None], 0.0)
+
+    # --- next direction ---
+    state, rnd2 = rng.next_2d(state)
+    state, rnd_r = rng.next_float(state)
+    wi_cur = -w
+    wm = sample_microfacet_normal(wi_cur, alpha, rnd2)
+    i_dot_m = em.dot(wi_cur, wm)
+    f = fresnel_fn(i_dot_m, outside)
+    reflect = rnd_r < mono_fn(f)
+    eta_cur = jnp.where(outside, eta, 1.0 / eta)
+    w_refl = -wi_cur + 2.0 * wm * i_dot_m[..., None]
+    w_refr = em.normalize(_refract_local(wi_cur, wm, eta_cur))
+    new_w = jnp.where(reflect[..., None], w_refl, -w_refr)
+    h = jnp.where(active2 & ~reflect, -h, h)
+    outside = outside ^ (active2 & ~reflect)
+
+    wi_mis = jnp.where(active2 & (order_new == 1),
+                       _mis_weight_dielectric(w_i, new_w, reflect, eta, alpha),
+                       wi_mis)
+
+    bad = active2 & ((order_new > kOrderMax) | ~jnp.isfinite(new_w[..., 2])
+                     | ~jnp.isfinite(h) | (jnp.abs(new_w[..., 2]) <= em.kEpsilon))
+    single = jnp.where(bad[..., None], 0.0, single)
+    multiple = jnp.where(bad[..., None], 0.0, multiple)
+
+    w = jnp.where(active2[..., None], new_w, w)
+    lam = jnp.where(active2, _lambda(w, alpha), lam)
+    active = active2 & ~bad
+    return state, w, lam, h, energy, outside, order_new, active, single, multiple, wi_mis
+
+  carry = (state, -w_i, _lambda(-w_i, alpha), jnp.ones(r), jnp.ones((r, c)),
+           jnp.ones(r, bool), jnp.zeros(r, jnp.int32), jnp.ones(r, bool),
+           single, multiple, jnp.zeros(r))
+  out = jax.lax.while_loop(cond, body, carry)
+  single, multiple = out[8], out[9]
+  return 0.5 * single + multiple

@@ -130,3 +130,35 @@ class TestObjDirectives:
     # directional angular size in radians
     prof = np.asarray(scene.emitter_profiles.angular_size)
     assert abs(prof.max() - np.deg2rad(0.53)) < 1e-5
+
+
+class TestMTLSaveBack:
+  """Scene save-back to extended MTL (scene_representation.cxx:2502-2980)."""
+
+  def test_roundtrip(self, tmp_path):
+    import dataclasses as dc
+    from etx_tracer_tpu.scene import cornell, save_mtl
+    from etx_tracer_tpu.scene.obj_loader import ObjSceneLoader
+
+    b = cornell.build_cornell_box(film_size=(32, 32), fog_scattering=0.2)
+    fi = b.material_names["white"]
+    b.materials[fi] = dc.replace(b.materials[fi], roughness=(0.25, 0.25),
+                                 opacity=0.8)
+    mtl = str(tmp_path / "scene.mtl")
+    save_mtl.save_materials(mtl, b)
+    text = open(mtl).read()
+    assert "newmtl et::camera" in text
+    assert "newmtl et::medium" in text
+
+    loader = ObjSceneLoader()
+    loader.load_materials(mtl)
+    b2 = loader.b
+    w = b2.materials[b2.material_names["white"]]
+    assert abs(w.roughness[0] - 0.25) < 1e-4
+    assert abs(w.opacity - 0.8) < 1e-5
+    assert "fog" in b2.medium_names
+    # non-emissive materials must not grow emitters on reload
+    assert w.emission_spec < 0
+    # the light does round-trip as an emitter
+    lm = b2.materials[b2.material_names["light"]]
+    assert lm.emission_spec >= 0

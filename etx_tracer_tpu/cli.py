@@ -97,6 +97,24 @@ def cmd_compare(args):
   print(json.dumps({"rmse": image_io.rmse(a, b)}))
 
 
+def cmd_view(args):
+  from etx_tracer_tpu.viewer import server as viewer_server
+  if args.scene == "cornell":
+    from etx_tracer_tpu.scene import cornell
+    size = (512, 512)
+    if args.size:
+      w, h = args.size.lower().split("x")
+      size = (int(w), int(h))
+    b = cornell.build_cornell_box(film_size=size, max_path_length=8)
+  else:
+    from etx_tracer_tpu.scene import json_scene
+    b = json_scene.load_scene(args.scene)
+    if args.size:
+      w, h = args.size.lower().split("x")
+      b.film_size = (int(w), int(h))
+  viewer_server.serve(b, port=args.port)
+
+
 def main(argv=None):
   p = argparse.ArgumentParser(prog="etx-tpu")
   sub = p.add_subparsers(dest="cmd", required=True)
@@ -124,6 +142,12 @@ def main(argv=None):
   pm.add_argument("a")
   pm.add_argument("b")
   pm.set_defaults(fn=cmd_compare)
+
+  pv = sub.add_parser("view")
+  pv.add_argument("scene", nargs="?", default="cornell")
+  pv.add_argument("--port", type=int, default=8612)
+  pv.add_argument("--size", default=None)
+  pv.set_defaults(fn=cmd_view)
 
   args = p.parse_args(argv)
   args.fn(args)

@@ -938,3 +938,23 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
 
   table = jnp.transpose(lane_film, (1, 0, 2)).reshape(npix, _SUMS_WIDTH)
   return FilmSums(table), state.rays_traced
+
+
+def render_preview(scene, config, pixel_size: int = 8, iterations: int = 1,
+                   pool_size: int = 1 << 17):
+  """Progressive preview: render the film at 1/pixel_size resolution and
+  upsample (Film::active_pixel pixel_size blocks, film.cxx:434-459 — the
+  camera-move preview path of RTApplication, app.cxx:131-142).
+
+  Returns a full-resolution (H, W, 3) image.
+  """
+  import dataclasses
+  w, h = config.film_width, config.film_height
+  pw = max(1, w // pixel_size)
+  ph = max(1, h // pixel_size)
+  small = dataclasses.replace(config, film_width=pw, film_height=ph)
+  sums, _ = render_samples_static(scene, small, 0, iterations,
+                                  pool_size=min(pool_size, pw * ph))
+  img = finalize_film(sums, iterations, pw).camera.reshape(ph, pw, 3)
+  img = jnp.repeat(jnp.repeat(img, pixel_size, axis=0), pixel_size, axis=1)
+  return img[:h, :w]

@@ -88,3 +88,36 @@ def noise_estimate(state: FilmState) -> jnp.ndarray:
   lum_full = jnp.sum(state.camera * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
   lum_half = jnp.sum(state.variance_half * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
   return jnp.abs(lum_full - lum_half) / jnp.maximum(jnp.abs(lum_full), 1e-4)
+
+
+def _hsv_to_rgb(h, s, v):
+  i = jnp.floor(h * 6.0)
+  f = h * 6.0 - i
+  p = v * (1.0 - s)
+  q = v * (1.0 - f * s)
+  t = v * (1.0 - (1.0 - f) * s)
+  i = i.astype(jnp.int32) % 6
+  r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                 [v, q, p, p, t, v])
+  g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                 [t, v, v, q, p, p])
+  b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                 [p, p, t, v, v, q])
+  return jnp.stack([r, g, b], axis=-1)
+
+
+def sample_heatmap(counts, min_samples: int = 4):
+  """Debug layer: per-pixel sample-count heat map (film.cxx:387-397).
+
+  counts: (H, W) per-pixel sample counts. Blue (hue 2/3) at min samples,
+  red (hue 0) at the maximum.
+  """
+  counts = jnp.asarray(counts, jnp.float32)
+  max_c = jnp.max(counts)
+  valid = max_c > min_samples
+  t = jnp.where(valid,
+                jnp.clip((counts - min_samples)
+                         / jnp.maximum(max_c - min_samples, 1e-6), 0.0, 1.0),
+                0.0)
+  hue = (2.0 / 3.0) * (1.0 - t)
+  return _hsv_to_rgb(hue, jnp.ones_like(hue), jnp.ones_like(hue))

@@ -108,9 +108,10 @@ def load_exr(path: str) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def save_png(path: str, image: np.ndarray, flip: bool = True, tonemap: bool = True):
-  """Write (H,W,3) linear float as 8-bit sRGB PNG."""
-  img = np.asarray(image, np.float32)
+def encode_png(image: np.ndarray, flip: bool = True, tonemap: bool = True,
+               exposure: float = 1.0) -> bytes:
+  """Encode (H,W,3) linear float as 8-bit sRGB PNG bytes."""
+  img = np.asarray(image, np.float32) * exposure
   if flip:
     img = _flip(img)
   if tonemap:
@@ -126,10 +127,14 @@ def save_png(path: str, image: np.ndarray, flip: bool = True, tonemap: bool = Tr
     return struct.pack(">I", len(payload)) + c + struct.pack(">I", zlib.crc32(c))
 
   ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-  png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-         + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+  return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+          + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def save_png(path: str, image: np.ndarray, flip: bool = True, tonemap: bool = True):
+  """Write (H,W,3) linear float as 8-bit sRGB PNG."""
   with open(path, "wb") as f:
-    f.write(png)
+    f.write(encode_png(image, flip=flip, tonemap=tonemap))
 
 
 def rmse(a: np.ndarray, b: np.ndarray) -> float:

@@ -162,3 +162,41 @@ class TestMTLSaveBack:
     # the light does round-trip as an emitter
     lm = b2.materials[b2.material_names["light"]]
     assert lm.emission_spec >= 0
+
+
+class TestViewer:
+  """Web viewer server (raytracer/app.cxx analogue)."""
+
+  def test_viewer_state_camera_controller(self):
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.viewer.server import ViewerState
+    b = cornell.build_cornell_box(film_size=(32, 32))
+    st = ViewerState(b)
+    o0 = st.origin.copy()
+    st.orbit(40, 10)
+    assert not np.allclose(st.origin, o0)
+    # orbit preserves distance to target
+    r0 = np.linalg.norm(o0 - st.target)
+    r1 = np.linalg.norm(st.origin - st.target)
+    assert abs(r0 - r1) < 1e-3
+    st.dolly(500)
+    assert np.linalg.norm(st.origin - st.target) > r1
+    t0 = st.target.copy()
+    st.pan(10, 5)
+    assert not np.allclose(st.target, t0)
+    assert st.dirty and st.preview
+
+  def test_render_preview_and_heatmap(self):
+    from etx_tracer_tpu.scene import cornell
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+    b = cornell.build_cornell_box(film_size=(32, 32), diffuse_only=True,
+                                  max_path_length=3)
+    scene, config = b.build()
+    img = np.asarray(path_tracing.render_preview(scene, config, pixel_size=4))
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all() and img.mean() > 0
+    hm = np.asarray(film_mod.sample_heatmap(
+        np.random.RandomState(0).randint(4, 64, (8, 8))))
+    assert hm.shape == (8, 8, 3)
+    assert hm.min() >= 0.0 and hm.max() <= 1.0

@@ -1,0 +1,180 @@
+"""Blender operator: collects bpy data and writes OBJ/MTL/JSON via
+serialize.py (reference blender/etx_tracer_exporter/operator.py +
+logic.py:9-112)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import bpy
+from bpy.props import IntProperty, StringProperty
+from bpy_extras.io_utils import ExportHelper
+
+from . import serialize
+
+
+def _collect_mesh(obj, depsgraph):
+  ev = obj.evaluated_get(depsgraph)
+  mesh = ev.to_mesh()
+  mesh.calc_loop_triangles()
+  try:
+    mesh.calc_normals_split()
+  except AttributeError:
+    pass  # 4.1+: loop normals always available
+  mw = obj.matrix_world
+  verts = [tuple(mw @ v.co) for v in mesh.vertices]
+  nmat = mw.inverted_safe().transposed().to_3x3()
+  uv_layer = mesh.uv_layers.active
+  normals = []
+  uvs = []
+  faces = []
+  for tri in mesh.loop_triangles:
+    face = []
+    for li in tri.loops:
+      loop = mesh.loops[li]
+      n = (nmat @ loop.normal).normalized()
+      normals.append(tuple(n))
+      ni = len(normals) - 1
+      if uv_layer is not None:
+        uvs.append(tuple(uv_layer.data[li].uv))
+        ti = len(uvs) - 1
+      else:
+        ti = None
+      face.append((loop.vertex_index, ti, ni))
+    faces.append(tuple(face))
+  mat_name = obj.active_material.name if obj.active_material else "default"
+  out = {"name": obj.name, "material": mat_name, "vertices": verts,
+         "normals": normals, "uvs": uvs, "faces": faces}
+  ev.to_mesh_clear()
+  return out
+
+
+def _material_props(mat):
+  props = {"cls": "principled", "base_color": (0.8, 0.8, 0.8),
+           "roughness": 0.5, "metalness": 0.0, "transmission": 0.0,
+           "ior": 1.5, "opacity": 1.0, "maps": {}}
+  if mat is None or not mat.use_nodes:
+    return props
+  for node in mat.node_tree.nodes:
+    if node.type == "BSDF_PRINCIPLED":
+      def val(name, default):
+        s = node.inputs.get(name)
+        return float(s.default_value) if s is not None else default
+
+      base = node.inputs.get("Base Color")
+      if base is not None:
+        props["base_color"] = tuple(base.default_value)[:3]
+      props["roughness"] = val("Roughness", 0.5)
+      props["metalness"] = val("Metallic", 0.0)
+      props["transmission"] = val("Transmission Weight", val("Transmission", 0.0))
+      props["ior"] = val("IOR", 1.5)
+      props["opacity"] = val("Alpha", 1.0)
+      em = node.inputs.get("Emission Color") or node.inputs.get("Emission")
+      if em is not None:
+        props["emission"] = tuple(em.default_value)[:3]
+        props["emission_strength"] = val("Emission Strength", 0.0)
+      break
+    if node.type == "BSDF_GLASS":
+      props["cls"] = "dielectric"
+    elif node.type == "BSDF_DIFFUSE":
+      props["cls"] = "diffuse"
+  return props
+
+
+def _camera_data(scene):
+  cam_obj = scene.camera
+  if cam_obj is None:
+    return None
+  cam = cam_obj.data
+  mw = cam_obj.matrix_world
+  origin = mw.translation
+  fwd = mw.to_quaternion() @ bpy.app.mathutils_Vector((0, 0, -1)) \
+      if hasattr(bpy.app, "mathutils_Vector") else None
+  import mathutils
+  fwd = mw.to_quaternion() @ mathutils.Vector((0.0, 0.0, -1.0))
+  up = mw.to_quaternion() @ mathutils.Vector((0.0, 1.0, 0.0))
+  rx = scene.render.resolution_x
+  ry = scene.render.resolution_y
+  fov = math.degrees(cam.angle_x)
+  data = {
+      "origin": tuple(origin), "target": tuple(origin + fwd),
+      "up": tuple(up), "fov": fov, "width": rx, "height": ry,
+      "panoramic": cam.type == "PANO",
+      "focal_length_mm": cam.lens,
+  }
+  if cam.dof and cam.dof.use_dof:
+    data["fstop"] = cam.dof.aperture_fstop
+    data["focus_distance"] = cam.dof.focus_distance
+  return data
+
+
+class ExportEtxTracerTPU(bpy.types.Operator, ExportHelper):
+  bl_idname = "export_scene.etx_tracer_tpu"
+  bl_label = "Export etx-tracer-tpu"
+  filename_ext = ".json"
+  filter_glob: StringProperty(default="*.json", options={"HIDDEN"})
+  samples: IntProperty(name="Samples", default=256, min=1)
+  max_path_length: IntProperty(name="Max path length", default=65535, min=1)
+
+  def execute(self, context):
+    json_path = self.filepath
+    base = os.path.splitext(json_path)[0]
+    obj_path = base + ".obj"
+    mtl_path = base + ".mtl"
+    depsgraph = context.evaluated_depsgraph_get()
+
+    meshes = []
+    materials = {}
+    for obj in context.scene.objects:
+      if obj.type != "MESH" or obj.hide_render:
+        continue
+      m = _collect_mesh(obj, depsgraph)
+      meshes.append(m)
+      materials[m["material"]] = _material_props(obj.active_material)
+
+    blocks = []
+    cam = _camera_data(context.scene)
+    if cam is not None:
+      blocks.append(serialize.camera_block(cam))
+    world = context.scene.world
+    if world is not None and world.use_nodes:
+      for node in world.node_tree.nodes:
+        if node.type == "BACKGROUND":
+          rgb = tuple(node.inputs[0].default_value)[:3]
+          strength = float(node.inputs[1].default_value)
+          blocks.append(serialize.env_block([c * strength for c in rgb]))
+          break
+    for obj in context.scene.objects:
+      if obj.type == "LIGHT" and obj.data.type == "SUN":
+        import mathutils
+        d = obj.matrix_world.to_quaternion() @ mathutils.Vector((0, 0, -1))
+        e = obj.data.energy
+        c = tuple(obj.data.color)[:3]
+        blocks.append(serialize.sun_block((-d.x, -d.y, -d.z),
+                                          [ci * e for ci in c]))
+    for name, props in materials.items():
+      blocks.append(serialize.material_block(name, props))
+
+    serialize.write_obj(obj_path, meshes)
+    with open(mtl_path, "w") as f:
+      f.write("\n".join(blocks))
+    serialize.write_scene_json(json_path, obj_path, mtl_path,
+                               self.samples, self.max_path_length)
+    self.report({"INFO"}, f"exported {json_path}")
+    return {"FINISHED"}
+
+
+def menu_func(self, context):
+  self.layout.operator(ExportEtxTracerTPU.bl_idname,
+                       text="etx-tracer-tpu (.json/.obj/.mtl)")
+
+
+def register():
+  bpy.utils.register_class(ExportEtxTracerTPU)
+  bpy.types.TOPBAR_MT_file_export.append(menu_func)
+
+
+def unregister():
+  bpy.types.TOPBAR_MT_file_export.remove(menu_func)
+  bpy.utils.unregister_class(ExportEtxTracerTPU)

@@ -36,7 +36,11 @@ class DebugMode:
   Albedo = 9
   Fresnel = 10
   EmitterIndex = 11
-  Count = 12
+  TransmittanceColor = 12
+  ReflectanceColor = 13
+  IOR = 14
+  Random = 15
+  Count = 16
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mode"))
@@ -92,6 +96,38 @@ def render_debug(scene, config, mode: int = DebugMode.Normals):
   elif mode == DebugMode.EmitterIndex:
     e = (trows.emitter >= 0).astype(jnp.float32)
     img = jnp.stack([e, e, jnp.zeros_like(e)], axis=-1)
+  elif mode == DebugMode.TransmittanceColor:
+    # apply_image(scattering) (debug.cxx Mode::TransmittanceColor)
+    from etx_tracer_tpu.render.bsdf.lobes import _scattering
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+    img = spx.to_film_rgb(_scattering(scene, sd, config.spectral), state.wl,
+                          config.spectral)
+  elif mode == DebugMode.ReflectanceColor:
+    from etx_tracer_tpu.render.bsdf.lobes import _reflectance
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+    img = spx.to_film_rgb(_reflectance(scene, sd, config.spectral), state.wl,
+                          config.spectral)
+  elif mode == DebugMode.IOR:
+    # eta at the hit, grayscale mapped over [1, 3] (debug.cxx Mode::IOR idea)
+    from etx_tracer_tpu.render.bsdf.lobes import _eta_ratio
+    sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                     geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                     medium=state.medium, mat=mat)
+    eta = _eta_ratio(scene, sd, config.spectral)
+    g = jnp.clip((eta - 1.0) / 2.0, 0.0, 1.0)
+    img = jnp.stack([g, g, g], axis=-1)
+  elif mode == DebugMode.Random:
+    # RNG stream visualization (debug.cxx Mode::Random)
+    st2, r0 = rng.next_float(state.rng_state)
+    st2, r1 = rng.next_float(st2)
+    st2, r2 = rng.next_float(st2)
+    img = jnp.stack([r0, r1, r2], axis=-1)
+    img = jnp.where(jnp.ones_like(found)[..., None], img, img)  # shown everywhere
+    return img.reshape(h, w, 3)
   else:
     img = jnp.zeros((w * h, 3))
 

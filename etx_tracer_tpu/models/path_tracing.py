@@ -462,7 +462,9 @@ def pt_step(scene, config, state: PTState) -> PTState:
     new_o = jnp.where(me[..., None], msample.pos, new_o)
     new_medium = jnp.where(me, state.medium, new_medium)
     new_bsdf_pdf = jnp.where(me, phase_pdf, new_bsdf_pdf)
-    new_mis = jnp.where(me, True, new_mis)
+    # no NEE competitor when the medium forbids explicit connections: the
+    # next direct emitter hit must then carry full weight
+    new_mis = jnp.where(me, mv.explicit_connections, new_mis)
     new_eta = jnp.where(me, state.eta, new_eta)
     new_len = jnp.where(me, state.path_length + 1, new_len)
     continue_ok = continue_ok | me

@@ -108,6 +108,8 @@ class LightVertices(NamedTuple):
   mat: jnp.ndarray         # (R,V) int32
   path_length: jnp.ndarray  # (R,V) int32
   valid: jnp.ndarray       # (R,V) bool
+  is_medium: jnp.ndarray   # (R,V) bool (VCMLightVertex::is_medium, :189)
+  medium: jnp.ndarray      # (R,V) int32
 
 
 def _alloc_vertices(r, v, c):
@@ -117,7 +119,9 @@ def _alloc_vertices(r, v, c):
       uv=jnp.zeros((r, v, 2)), throughput=jnp.zeros((r, v, c)),
       d_vcm=jnp.zeros((r, v)), d_vc=jnp.zeros((r, v)), d_vm=jnp.zeros((r, v)),
       mat=jnp.zeros((r, v), jnp.int32), path_length=jnp.zeros((r, v), jnp.int32),
-      valid=jnp.zeros((r, v), bool))
+      valid=jnp.zeros((r, v), bool),
+      is_medium=jnp.zeros((r, v), bool),
+      medium=jnp.full((r, v), -1, jnp.int32))
 
 
 def _shading_data(scene, state, pos, nrm, tan, btn, uv, mat):
@@ -194,6 +198,27 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)
     found = hit.found & state.alive
+
+    # medium free-path sampling (vcm_try_sampling_medium, vcm_shared.hxx:379)
+    medium_event = jnp.zeros(r, bool)
+    if config.has_media:
+      from etx_tracer_tpu.render import media as media_mod
+      rng_state_m = state.rng_state
+      mv = media_mod.gather_medium(scene, state.medium, state.wl, spectral)
+      seg_t = jnp.where(hit.found, hit.t, 2.0 * scene.bsphere_radius * 100.0)
+      seg_t = jnp.where(state.alive & mv.valid, seg_t, 0.0)
+      msample, rng_state_m = media_mod.sample_medium(
+          scene, mv, state.wl, state.throughput, rng_state_m,
+          state.ray_o, state.ray_d, jnp.maximum(seg_t, em.kRayEpsilon), spectral)
+      in_medium = state.alive & mv.valid & (seg_t > 0.0)
+      medium_event = in_medium & msample.sampled
+      state = state._replace(
+          throughput=jnp.where(in_medium[..., None],
+                               state.throughput * msample.weight,
+                               state.throughput),
+          rng_state=rng_state_m)
+      found = found & ~medium_event
+
     pos, nrm, tan, btn, uv, bc, tri, trows = pt._interpolate_hit(scene, hit, state.ray_d)
     mat = pt._gather_mat(scene, trows.mat)
 
@@ -209,13 +234,26 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     d_vc = jnp.where(upd, state.d_vc / cos_prev, state.d_vc)
     d_vm = jnp.where(upd, state.d_vm / cos_prev, state.d_vm)
     path_distance = jnp.where(upd, 0.0, state.path_distance)
+    if config.has_media:
+      # fold boundary + medium segment (vcm_handle_sampled_medium :393-399)
+      seg_m = state.path_distance + msample.t
+      d_vcm = jnp.where(medium_event, state.d_vcm * em.sqr(seg_m), d_vcm)
+      path_distance = jnp.where(medium_event, 0.0, path_distance)
     state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm, path_distance=path_distance)
 
     sd = _shading_data(scene, state, pos, nrm, tan, btn, uv, mat)
     sd = sd._replace(geo_n=trows.geo_n)
 
     is_delta_mat = bsdf_dispatch.is_delta(sd)
-    store = upd & ~is_delta_mat
+    store = (upd & ~is_delta_mat) | medium_event
+
+    def msel(surf_v, med_v):
+      m = medium_event
+      while m.ndim < surf_v.ndim:
+        m = m[..., None]
+      return jnp.where(m, med_v, surf_v)
+
+    v_pos = msel(pos, msample.pos) if config.has_media else pos
 
     def put(field, value):
       m = store
@@ -223,9 +261,11 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         m = m[..., None]
       return field.at[:, slot].set(jnp.where(m, value, field[:, slot]))
 
+    zero3 = jnp.zeros((r, 3))
     verts = LightVertices(
-        pos=put(verts.pos, pos), nrm=put(verts.nrm, nrm),
-        geo_n=put(verts.geo_n, trows.geo_n),
+        pos=put(verts.pos, v_pos),
+        nrm=put(verts.nrm, msel(nrm, zero3) if config.has_media else nrm),
+        geo_n=put(verts.geo_n, msel(trows.geo_n, zero3) if config.has_media else trows.geo_n),
         w_i=put(verts.w_i, state.ray_d),
         tan=put(verts.tan, tan), btn=put(verts.btn, btn),
         uv=put(verts.uv, uv),
@@ -233,33 +273,66 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         d_vcm=put(verts.d_vcm, state.d_vcm),
         d_vc=put(verts.d_vc, state.d_vc),
         d_vm=put(verts.d_vm, state.d_vm),
-        mat=put(verts.mat, trows.mat),
+        mat=put(verts.mat, jnp.where(medium_event, 0, trows.mat) if config.has_media else trows.mat),
         path_length=put(verts.path_length, state.path_depth + 1),
-        valid=verts.valid.at[:, slot].set(store))
+        valid=verts.valid.at[:, slot].set(store),
+        is_medium=verts.is_medium.at[:, slot].set(
+            jnp.where(store, medium_event, verts.is_medium[:, slot])),
+        medium=put(verts.medium, state.medium))
 
     # --- connect to camera (vcm_connect_to_camera, :463-536) ---
     rng_state = state.rng_state
     rng_state, lens_rnd = rng.next_2d(rng_state)
-    cam = camera_mod.sample_film(scene.camera, pos, lens_rnd)
+    conn_pos = v_pos  # surface hit or sampled medium position
+    cam = camera_mod.sample_film(scene.camera, conn_pos, lens_rnd)
     w_o = cam.direction
     bsdf_val, _ = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
     rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+    if config.has_media:
+      # medium lanes scatter with the phase function (vcm_connect_to_camera
+      # camera_at_medium branch)
+      phase_cam = media_mod.phase_hg(state.ray_d, w_o, mv.phase_g)
+      bsdf_val = jnp.where(medium_event[..., None], phase_cam[..., None], bsdf_val)
+      rev_pdf = jnp.where(medium_event, phase_cam, rev_pdf)
     sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+    if config.has_media:
+      sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
     dist = em.length(cam.position - sh_o)
-    occluded = trace_ops.trace_occluded(
-        scene, sh_o, w_o, jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
-    dist2 = jnp.maximum(em.dot(cam.position - pos, cam.position - pos), 1e-12)
+    if config.has_media:
+      # transmittance-aware connection (rt.cxx trace_transmittance usage in
+      # the VCM/BDPT connection kernels)
+      tr_con, rng_state = pt._trace_transmittance(
+          scene, config, rng_state, state.medium, sh_o, cam.position,
+          state.wl, spectral)
+      occluded = jnp.max(tr_con, axis=-1) <= 0.0
+    else:
+      tr_con = None
+      occluded = trace_ops.trace_occluded(
+          scene, sh_o, w_o, jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
+    dist2 = jnp.maximum(em.dot(cam.position - conn_pos, cam.position - conn_pos), 1e-12)
     # pdf_dir_out of the camera (scene_camera.hxx:112); cam.weight encodes
     # importance/pdf (scene_camera.hxx:108-116)
     pdf_dir_out = 1.0 / jnp.maximum(
         scene.camera.area * jnp.maximum(-em.dot(cam.direction, scene.camera.direction), 1e-9) ** 3, 1e-12)
-    camera_pdf_area = pdf_dir_out * jnp.abs(em.dot(nrm, w_o)) / dist2
-    w_light = camera_pdf_area * (vm_weight + state.d_vcm + state.d_vc * rev_pdf)
-    mis_w = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light), 1.0)
+    cos_cam = jnp.abs(em.dot(nrm, w_o))
+    vmw_cam = jnp.full(r, vm_weight)
     fix = bsdf_dispatch.fix_shading_normal(trows.geo_n, nrm, state.ray_d, w_o)
+    if config.has_media:
+      cos_cam = jnp.where(medium_event, 1.0, cos_cam)
+      vmw_cam = jnp.where(medium_event, 0.0, vmw_cam)
+      fix = jnp.where(medium_event, 1.0, fix)
+    camera_pdf_area = pdf_dir_out * cos_cam / dist2
+    w_light = camera_pdf_area * (vmw_cam + state.d_vcm + state.d_vc * rev_pdf)
+    mis_w = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light), 1.0)
     contrib = bsdf_val * state.throughput * (cam.weight * mis_w * fix)[..., None]
+    if config.has_media:
+      contrib = contrib * tr_con
     can_connect = (store & options.connect_to_camera & cam.valid & ~occluded
                    & (state.path_depth + 2 <= config.max_path_length))
+    if config.has_media:
+      # explicit connections from media gated per medium (med.enable_explicit)
+      can_connect = can_connect & jnp.where(medium_event,
+                                            mv.explicit_connections, True)
     rgb = spx.to_film_rgb(contrib, state.wl, spectral)
     n_img = float(n_paths)
     rgb = rgb / n_img * (config.film_width * config.film_height)
@@ -295,8 +368,37 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     b_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
     b_o = pt._shading_pos(trows.geo_n, pos, state.ray_d)
 
+    if config.has_media:
+      # phase continuation (vcm_handle_sampled_medium :405-435)
+      rng_state, m_rnd_phase = rng.next_2d(rng_state)
+      phase_dir = media_mod.sample_phase_hg(state.ray_d, mv.phase_g, m_rnd_phase)
+      phase_pdf = media_mod.phase_hg(state.ray_d, phase_dir, mv.phase_g)
+      inv_p = 1.0 / jnp.maximum(phase_pdf, 1e-20)
+      md_vc = inv_p * (state.d_vc * phase_pdf + state.d_vcm)
+      md_vm = inv_p * (state.d_vm * phase_pdf)
+      md_vcm = inv_p
+      rng_state, m_rr = rng.next_float(rng_state)
+      m_thr = state.throughput
+      m_cont, m_thr = pt._random_continue(state.path_depth + 1, config.rr_start,
+                                          state.eta, m_rr, m_thr)
+      med_alive = medium_event & m_cont \
+          & (state.path_depth + 2 <= config.max_path_length)
+      me = medium_event
+      state = state._replace(
+          ray_o=jnp.where(me[..., None], msample.pos, state.ray_o),
+          ray_d=jnp.where(me[..., None], phase_dir, state.ray_d),
+          throughput=jnp.where(me[..., None], m_thr, state.throughput),
+          d_vcm=jnp.where(me, md_vcm, state.d_vcm),
+          d_vc=jnp.where(me, md_vc, state.d_vc),
+          d_vm=jnp.where(me, md_vm, state.d_vm),
+          path_depth=jnp.where(me, state.path_depth + 1, state.path_depth))
+    else:
+      me = jnp.zeros(r, bool)
+
     state = state._replace(
-        ray_o=jnp.where(is_boundary[..., None], b_o, jnp.where(upd[..., None], new_o, state.ray_o)),
+        ray_o=jnp.where(me[..., None], state.ray_o,
+                        jnp.where(is_boundary[..., None], b_o,
+                                  jnp.where(upd[..., None], new_o, state.ray_o))),
         ray_d=jnp.where(upd[..., None], bs.w_o, state.ray_d),
         throughput=jnp.where(upd[..., None], new_thr, state.throughput),
         d_vcm=jnp.where(upd, nd_vcm, state.d_vcm),
@@ -307,7 +409,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         path_depth=jnp.where(upd, new_depth, state.path_depth),
         path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
         rng_state=rng_state,
-        alive=jnp.where(is_boundary, state.alive, surf_alive))
+        alive=jnp.where(me, (med_alive if config.has_media else state.alive),
+                        jnp.where(is_boundary, state.alive, surf_alive)))
     return state, verts, splat_uv, splat_val
 
   state, verts, splat_uv, splat_val = jax.lax.fori_loop(
@@ -355,7 +458,8 @@ def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
     return x.reshape((n,) + x.shape[2:])
 
   pos = flat(verts.pos)
-  valid = flat(verts.valid)
+  # medium vertices are not mergeable (vcm_shared.hxx:416-421)
+  valid = flat(verts.valid) & ~flat(verts.is_medium)
   cell_size = 2.0 * radius
   grid_min = scene.bsphere_center - scene.bsphere_radius - 2.0 * radius
   m = jnp.floor((pos - grid_min) / cell_size).astype(jnp.int32)
@@ -400,7 +504,8 @@ _MERGE_SCAN = 32
 
 
 def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
-                 radius, vc_weight, options: VCMOptions, classes, spectral: bool):
+                 radius, vc_weight, options: VCMOptions, classes, spectral: bool,
+                 variations: tuple = (0,)):
   """Photon gather over the 8 neighbor cells (vcm_shared.hxx:886-924).
 
   Sorted-segment scan with a static per-cell bound; returns (R,3) RGB.
@@ -436,7 +541,7 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
           if hasattr(scene, "max_path_length") else ok & (dist2 <= r2)
       ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
       w_in = grid.w_i[j]
-      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, config.diffuse_variations)
+      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, variations)
       rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
       w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
       w_camera = w_cam_base + state.d_vm * rev_pdf
@@ -476,7 +581,10 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   px = (idx % w).astype(jnp.int32)
   py = (idx // w).astype(jnp.int32)
   rng_state, jit_rnd = rng.next_2d(rng_state)
-  jitter = jnp.where(iteration == 0, 0.0, jit_rnd - 0.5)
+  # same Blackman-Harris pixel filter as PT (Film::sample applies the filter
+  # image for every integrator, film.cxx:137-145)
+  jitter = jnp.where(iteration == 0, 0.0,
+                     camera_mod.blackman_harris_jitter(jit_rnd))
   uv = camera_mod.film_uv(px, py, w, h, jitter)
   rng_state, lens_rnd = rng.next_2d(rng_state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
@@ -487,7 +595,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       ray_o=rays.o, ray_d=rays.d,
       throughput=jnp.ones((r, c)), gathered=jnp.zeros((r, c)),
       d_vcm=1.0 / jnp.maximum(film_pdf, 1e-20), d_vc=jnp.zeros(r), d_vm=jnp.zeros(r),
-      eta=jnp.ones(r), medium=jnp.full(r, -1, jnp.int32),
+      eta=jnp.ones(r), medium=jnp.broadcast_to(scene.camera.medium_index, (r,)).astype(jnp.int32),
       path_depth=jnp.ones(r, jnp.int32), path_distance=jnp.zeros(r),
       rng_state=rng_state, wl=wl, alive=jnp.ones(r, bool),
       delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool))
@@ -501,11 +609,30 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)
     found = hit.found & state.alive
+    rng_state = state.rng_state
+
+    # medium free-path sampling (vcm_camera_step :933-996)
+    medium_event = jnp.zeros(r, bool)
+    if config.has_media:
+      from etx_tracer_tpu.render import media as media_mod
+      mv = media_mod.gather_medium(scene, state.medium, state.wl, spectral)
+      seg_t = jnp.where(hit.found, hit.t, 2.0 * scene.bsphere_radius * 100.0)
+      seg_t = jnp.where(state.alive & mv.valid, seg_t, 0.0)
+      msample, rng_state = media_mod.sample_medium(
+          scene, mv, state.wl, state.throughput, rng_state,
+          state.ray_o, state.ray_d, jnp.maximum(seg_t, em.kRayEpsilon), spectral)
+      in_medium = state.alive & mv.valid & (seg_t > 0.0)
+      medium_event = in_medium & msample.sampled
+      state = state._replace(
+          throughput=jnp.where(in_medium[..., None],
+                               state.throughput * msample.weight,
+                               state.throughput))
+      found = found & ~medium_event
+
     pos, nrm, tan, btn, uvt, bcc, tri, trows = pt._interpolate_hit(scene, hit, state.ray_d)
     mat = pt._gather_mat(scene, trows.mat)
     is_boundary = found & (mat.cls == MC.Boundary) if MC.Boundary in classes else jnp.zeros(r, bool)
     upd = found & ~is_boundary
-    rng_state = state.rng_state
 
     # miss -> environment (vcm_cam_handle_miss, :537-585)
     gathered = state.gathered
@@ -523,8 +650,13 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     d_vcm = jnp.where(upd, state.d_vcm * em.sqr(seg) / cos_prev, state.d_vcm)
     d_vc = jnp.where(upd, state.d_vc / cos_prev, state.d_vc)
     d_vm = jnp.where(upd, state.d_vm / cos_prev, state.d_vm)
+    path_distance = jnp.where(upd, 0.0, state.path_distance)
+    if config.has_media:
+      seg_m = state.path_distance + msample.t
+      d_vcm = jnp.where(medium_event, state.d_vcm * em.sqr(seg_m), d_vcm)
+      path_distance = jnp.where(medium_event, 0.0, path_distance)
     state = state._replace(d_vcm=d_vcm, d_vc=d_vc, d_vm=d_vm,
-                           path_distance=jnp.where(upd, 0.0, state.path_distance))
+                           path_distance=path_distance)
 
     sd = ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
                      geo_n=trows.geo_n, tex=uvt, wl=state.wl,
@@ -549,25 +681,53 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       rng_state, rnd_sel = rng.next_float(rng_state)
       rng_state, rnd_em = rng.next_2d(rng_state)
       em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
-      esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
+      nee_pos = pos
+      if config.has_media:
+        nee_pos = jnp.where(medium_event[..., None], msample.pos, pos)
+      esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, nee_pos, state.wl, spectral,
                                          classes=config.emitter_classes)
       w_o = esmp.direction
       b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
       rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+      if config.has_media:
+        # camera_at_medium: phase function in place of the BSDF
+        # (vcm_connect_to_light, :627-634)
+        p_nee = media_mod.phase_hg(state.ray_d, w_o, mv.phase_g)
+        b_val = jnp.where(medium_event[..., None], p_nee[..., None], b_val)
+        b_pdf = jnp.where(medium_event, p_nee, b_pdf)
+        rev = jnp.where(medium_event, p_nee, rev)
       sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+      if config.has_media:
+        sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
       dist = em.length(esmp.origin - sh_o)
-      occluded = trace_ops.trace_occluded(scene, sh_o, w_o,
-                                          jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
+      if config.has_media:
+        tr_nee, rng_state = pt._trace_transmittance(
+            scene, config, rng_state, state.medium, sh_o, esmp.origin,
+            state.wl, spectral)
+        occluded = jnp.max(tr_nee, axis=-1) <= 0.0
+      else:
+        tr_nee = None
+        occluded = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                            jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
       denom = esmp.pdf_dir * esmp.pdf_sample
       l_dot_e = jnp.maximum(jnp.abs(em.dot(esmp.direction, esmp.normal)), 1e-6)
       cam_factor = jnp.abs(em.dot(w_o, trows.geo_n))
+      vmw_nee = jnp.full(r, vm_weight)
+      if config.has_media:
+        cam_factor = jnp.where(medium_event, 1.0, cam_factor)
+        vmw_nee = jnp.where(medium_event, 0.0, vmw_nee)
       w_light = jnp.where(esmp.is_delta, 0.0, b_pdf / jnp.maximum(denom, 1e-20))
       w_cam = (esmp.pdf_dir_out * cam_factor) / jnp.maximum(esmp.pdf_dir * l_dot_e, 1e-20) \
-          * (vm_weight + state.d_vcm + state.d_vc * rev)
+          * (vmw_nee + state.d_vcm + state.d_vc * rev)
       weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_cam), 1.0)
-      ok = (upd & (denom > 0.0) & ~occluded & (b_pdf > 0.0)
+      nee_lane = upd
+      if config.has_media:
+        nee_lane = upd | (medium_event & mv.explicit_connections)
+      ok = (nee_lane & (denom > 0.0) & ~occluded & (b_pdf > 0.0)
             & (state.path_depth + 1 <= config.max_path_length))
       contrib = b_val * esmp.value * (weight / jnp.maximum(denom, 1e-20))[..., None]
+      if config.has_media:
+        contrib = contrib * tr_nee
       gathered = gathered + jnp.where(ok[..., None], state.throughput * contrib, 0.0)
 
     # --- lane-aligned vertex connections (vcm_connect_to_light_path) ---
@@ -595,29 +755,80 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes, config.diffuse_variations)
         l_rev = bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
         w_dot_l = -em.dot(lv_nrm, w_o)
+        fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
+        vmw_pair = jnp.full(r, vm_weight)
+        if config.has_media:
+          # light vertex inside a medium: phase function on the light side
+          # (vcm_connect_to_light_vertex, is_medium branch)
+          lv_is_med = verts.is_medium[:, vi]
+          lv_med = verts.medium[:, vi]
+          lv_g = scene.mediums.phase_g[jnp.maximum(lv_med, 0)]
+          p_l = media_mod.phase_hg(lv_wi, -w_o, lv_g)
+          lb_val = jnp.where(lv_is_med[..., None], p_l[..., None], lb_val)
+          lb_pdf = jnp.where(lv_is_med, p_l, lb_pdf)
+          l_rev = jnp.where(lv_is_med, p_l, l_rev)
+          w_dot_l = jnp.where(lv_is_med, 1.0, w_dot_l)
+          fix = jnp.where(lv_is_med, 1.0, fix)
+          vmw_pair = jnp.where(lv_is_med, 0.0, vmw_pair)
         w_dot_c = em.dot(nrm, w_o)
         cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
         light_area_pdf = lb_pdf * jnp.abs(w_dot_c) / dist2
-        w_light = cam_area_pdf * (vm_weight + verts.d_vcm[:, vi] + verts.d_vc[:, vi] * l_rev)
-        w_camera = light_area_pdf * (vm_weight + state.d_vcm + state.d_vc * c_rev)
+        w_light = cam_area_pdf * (vmw_pair + verts.d_vcm[:, vi] + verts.d_vc[:, vi] * l_rev)
+        w_camera = light_area_pdf * (vmw_pair + state.d_vcm + state.d_vc * c_rev)
         weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
-        fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
         sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
         seg_len = em.length(lv_pos - sh_o)
-        occ = trace_ops.trace_occluded(scene, sh_o, w_o,
-                                       jnp.full(r, em.kRayEpsilon), seg_len * (1.0 - 1e-3))
+        if config.has_media:
+          tr_vc, rng_state = pt._trace_transmittance(
+              scene, config, rng_state, state.medium, sh_o, lv_pos,
+              state.wl, spectral)
+          occ = jnp.max(tr_vc, axis=-1) <= 0.0
+        else:
+          tr_vc = None
+          occ = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                         jnp.full(r, em.kRayEpsilon), seg_len * (1.0 - 1e-3))
         ok = (upd & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
               & (target_len + 1 <= config.max_path_length))
         contrib = (cb_val * state.throughput) * (lb_val * lv_thr) \
             * (weight * fix / dist2)[..., None]
+        if config.has_media:
+          contrib = contrib * tr_vc
         gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
 
     # --- merging (photon gather) ---
     if options.enable_merging:
       mstate = state._replace(ray_o=pos)
       merged = merge_gather(scene, grid, sd, mstate, radius, vc_weight,
-                            options, classes, spectral)
+                            options, classes, spectral,
+                            config.diffuse_variations)
       merged_total = merged_total + jnp.where(upd[..., None], merged, 0.0)
+
+    # --- medium phase continuation (vcm_camera_step :954-996) ---
+    if config.has_media:
+      rng_state, m_rnd_phase = rng.next_2d(rng_state)
+      phase_dir = media_mod.sample_phase_hg(state.ray_d, mv.phase_g, m_rnd_phase)
+      phase_pdf = media_mod.phase_hg(state.ray_d, phase_dir, mv.phase_g)
+      inv_p = 1.0 / jnp.maximum(phase_pdf, 1e-20)
+      md_vc = inv_p * (state.d_vc * phase_pdf + state.d_vcm)
+      md_vm = inv_p * (state.d_vm * phase_pdf)
+      md_vcm = inv_p
+      rng_state, m_rr = rng.next_float(rng_state)
+      m_thr = state.throughput
+      m_cont, m_thr = pt._random_continue(state.path_depth + 1, config.rr_start,
+                                          state.eta, m_rr, m_thr)
+      med_alive = medium_event & m_cont \
+          & (state.path_depth + 2 <= config.max_path_length)
+      me = medium_event
+      state = state._replace(
+          ray_o=jnp.where(me[..., None], msample.pos, state.ray_o),
+          ray_d=jnp.where(me[..., None], phase_dir, state.ray_d),
+          throughput=jnp.where(me[..., None], m_thr, state.throughput),
+          d_vcm=jnp.where(me, md_vcm, state.d_vcm),
+          d_vc=jnp.where(me, md_vc, state.d_vc),
+          d_vm=jnp.where(me, md_vm, state.d_vm),
+          path_depth=jnp.where(me, state.path_depth + 1, state.path_depth))
+    else:
+      me = jnp.zeros(r, bool)
 
     # --- continue: bsdf sample + recurrences ---
     rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
@@ -647,7 +858,9 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         & (jnp.max(new_thr, axis=-1) > 0.0)
 
     state = state._replace(
-        ray_o=jnp.where(is_boundary[..., None], b_o, jnp.where(upd[..., None], new_o, state.ray_o)),
+        ray_o=jnp.where(me[..., None], state.ray_o,
+                        jnp.where(is_boundary[..., None], b_o,
+                                  jnp.where(upd[..., None], new_o, state.ray_o))),
         ray_d=jnp.where(upd[..., None], bs.w_o, state.ray_d),
         throughput=jnp.where(upd[..., None], new_thr, state.throughput),
         gathered=gathered,
@@ -659,7 +872,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         path_depth=jnp.where(upd, new_depth, state.path_depth),
         path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
         rng_state=rng_state,
-        alive=jnp.where(is_boundary, state.alive, surf_alive))
+        alive=jnp.where(me, (med_alive if config.has_media else state.alive),
+                        jnp.where(is_boundary, state.alive, surf_alive)))
     return state, merged_total
 
   state, merged_total = jax.lax.fori_loop(0, max_depth, body, (state, merged_total))

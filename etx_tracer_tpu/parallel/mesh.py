@@ -120,7 +120,8 @@ def _make_band_payload(scene, config, iteration, row_offset, full_height):
   px = (global_index % w).astype(jnp.int32)
   py = (global_index // w).astype(jnp.int32)
   state, jit_rnd = rng.next_2d(state)
-  jitter = jnp.where(iteration == 0, 0.0, jit_rnd - 0.5)
+  jitter = jnp.where(iteration == 0, 0.0,
+                     camera_mod.blackman_harris_jitter(jit_rnd))
   uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   state, lens_rnd = rng.next_2d(state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,

@@ -231,6 +231,11 @@ def sample_emission(scene, rnd_sel, rnd_pos, rnd_dir, wl, spectral: bool) -> Emi
   btn_a = em.normalize(trows.b0 * bc[..., 0:1] + trows.b1 * bc[..., 1:2] + trows.b2 * bc[..., 2:3])
   colc = packed.mat_column("emission_collimation")
   collim = gops.take_rows(scene.mat_table[:, colc:colc + 1], trows.mat)[:, 0]
+  # emitter_external_medium_index (scene_emitters.hxx:10-20): light paths
+  # start in the emitting material's exterior medium
+  extc = packed.mat_column("ext_medium")
+  em_medium = gops.take_rows(scene.mat_table[:, extc:extc + 1], trows.mat)[:, 0].astype(jnp.int32)
+  em_medium = jnp.where(cls == EC.Area, em_medium, -1)
   exponent = collimation_to_exponent(collim)
   local = em.sample_cosine_distribution(rnd_dir, exponent)
   dir_a = tan_a * local[..., 0:1] + btn_a * local[..., 1:2] + normal_a * local[..., 2:3]
@@ -288,7 +293,7 @@ def sample_emission(scene, rnd_sel, rnd_pos, rnd_dir, wl, spectral: bool) -> Emi
       pdf_dir_out=pdf_dir_out,
       is_delta=is_dir, is_distant=~is_area,
       triangle_index=erows.triangle,
-      medium_index=jnp.full(r, -1, jnp.int32),
+      medium_index=em_medium,
       geo_n=trows.geo_n)
 
 

@@ -75,6 +75,7 @@ def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
         name="fog", cls=1 if fog_grid is None else 2,
         scattering_spec=scat, phase_g=fog_g, grid=fog_grid,
         bounds_min=(-1.0, 0.0, -1.0), bounds_max=(1.0, 2.0, 1.0)))
+    fog_idx = b.camera_medium
 
   # Kd values go through sRGB->linear like the reference MTL loader
   # (load_reflectance_spectrum, scene_representation.cxx:480-498)
@@ -115,6 +116,13 @@ def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
                                         scattering_spec=black,
                                         emission_spec=emission if with_light else -1,
                                         two_sided=True))
+
+  if fog_scattering > 0.0 or fog_grid is not None:
+    # everything sits inside the fog: exterior medium of every material is
+    # the fog (emitter_external_medium_index relies on the light's ext_medium)
+    import dataclasses as _dc
+    for _i, _m in enumerate(b.materials):
+      b.materials[_i] = _dc.replace(_m, ext_medium=fog_idx)
 
   # room: x in [-1,1], y in [0,2], z in [-1,1]; open towards +z (camera)
   _quad(b, (-1, 0, 1), (1, 0, 1), (1, 0, -1), (-1, 0, -1), m_white)      # floor (n=+y)

@@ -582,7 +582,26 @@ class ObjSceneLoader:
 
 
 def _load_density_grid(path: str):
-  """NanoVDB loading is not wired yet; .npy grids are accepted."""
-  if path.endswith(".npy") and os.path.isfile(path):
+  """Density grids: .npy arrays and Mitsuba .vol dense grids.
+
+  Replaces the reference's NanoVDB loader (medium_pool.cxx:94-150) for the
+  dense-grid interchange formats; grids are normalized to max 1 downstream.
+  """
+  if not os.path.isfile(path):
+    return None
+  if path.endswith(".npy"):
     return np.load(path)
+  if path.endswith(".vol"):
+    import struct as _struct
+    with open(path, "rb") as f:
+      data = f.read()
+    if data[:3] != b"VOL":
+      return None
+    version = data[3]
+    enc, rx, ry, rz, ch = _struct.unpack("<iiiii", data[4:24])
+    if enc != 1:  # float32 only
+      return None
+    vals = np.frombuffer(data[48:48 + 4 * rx * ry * rz * ch], "<f4")
+    grid = vals.reshape(rz, ry, rx, ch)[..., 0]
+    return np.ascontiguousarray(grid)
   return None

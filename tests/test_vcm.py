@@ -91,3 +91,52 @@ class TestVCM:
     r0 = 5.0 * 2.0 / 640.0
     r128 = r0 / (1.0 + 128 / 256)
     assert r128 == pytest.approx(r0 / 1.5)
+
+
+class TestVCMMedia:
+  """VCM/BDPT with participating media: medium vertices, phase MIS
+  recurrences, transmittance-aware connections (vcm_shared.hxx:379-460).
+
+  Known residual: camera-at-medium vertex connections are not implemented,
+  leaving ~10-20%% fog-scene bias for BDPT/VCM at low spp; LT < 1 because
+  light tracing cannot render directly-visible emitters."""
+
+  def _scene(self):
+    from etx_tracer_tpu.scene import cornell
+    b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                  max_path_length=5, fog_scattering=0.25)
+    return b.build()
+
+  def test_fog_cross_integrator_agreement(self):
+    from etx_tracer_tpu.models import path_tracing, vcm
+    from etx_tracer_tpu.render import film as film_mod
+    scene, config = self._scene()
+    fs_pt = path_tracing.render(scene, config, iterations=8)
+    ptm = float(np.asarray(film_mod.result_image(fs_pt)).mean())
+    assert ptm > 0
+
+    fs_lt = vcm.render(scene, config, iterations=8,
+                       options=vcm.light_tracing_options())
+    lt = float(np.asarray(film_mod.result_image(fs_lt)).mean()) / ptm
+    assert 0.6 < lt < 1.1, lt
+
+    fs_b = vcm.render(scene, config, iterations=8, options=vcm.bdpt_options())
+    bd = float(np.asarray(film_mod.result_image(fs_b)).mean()) / ptm
+    assert 0.85 < bd < 1.3, bd
+
+    fs_v = vcm.render(scene, config, iterations=8)
+    vc = float(np.asarray(film_mod.result_image(fs_v)).mean()) / ptm
+    assert 0.85 < vc < 1.4, vc
+
+  def test_emission_medium_index(self):
+    from etx_tracer_tpu.render import emitters as em_mod
+    from etx_tracer_tpu.core import rng
+    scene, config = self._scene()
+    r = 64
+    st = rng.seed(jnp.arange(r, dtype=jnp.uint32), jnp.zeros(r, jnp.uint32))
+    st, sel = rng.next_float(st)
+    st, p2 = rng.next_2d(st)
+    st, d2 = rng.next_2d(st)
+    es = em_mod.sample_emission(scene, sel, p2, d2, jnp.zeros(r), False)
+    # light sits inside the fog: emission starts in the fog medium
+    assert int(np.asarray(es.medium_index).max()) >= 0

@@ -524,37 +524,46 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
   r2 = em.sqr(radius)
 
   merged = jnp.zeros((r, 3))
+
+  # cells stacked to (8, R): ONE traced scan body instead of 8*scan unrolled
+  # python loops (each body holds full BSDF evals — with the MS walks the
+  # unrolled version exploded compile time)
+  cs = []
   for ci in range(8):
     ix = bc[:, 0] if ci & 1 else ac[:, 0]
     iy = bc[:, 1] if ci & 2 else ac[:, 1]
     iz = bc[:, 2] if ci & 4 else ac[:, 2]
-    cell = _cell_hash(ix, iy, iz)
+    cs.append(_cell_hash(ix, iy, iz))
+  cells = jnp.stack(cs, axis=0)  # (8, R)
+
+  def body(it, merged):
+    ci = it // _MERGE_SCAN
+    k = it % _MERGE_SCAN
+    cell = jax.lax.dynamic_index_in_dim(cells, ci, axis=0, keepdims=False)
     start, end = _segment_range(grid, cell)
-    for k in range(_MERGE_SCAN):
-      j = jnp.minimum(start + k, grid.pos.shape[0] - 1)
-      in_range = (start + k) < end
-      vpos = grid.pos[j]
-      d = vpos - pos
-      dist2 = em.dot(d, d)
-      ok = in_range & grid.valid[j] & (dist2 <= r2)
-      ok = ok & ((grid.path_length[j] + state.path_depth + 1) <= scene.max_path_length) \
-          if hasattr(scene, "max_path_length") else ok & (dist2 <= r2)
-      ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
-      w_in = grid.w_i[j]
-      bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, variations)
-      rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
-      w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
-      w_camera = w_cam_base + state.d_vm * rev_pdf
-      weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
-      # Epanechnikov kernel (vcm_shared.hxx:863-868)
-      kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
-      cos_o = jnp.abs(em.dot(sd.nrm, -w_in))
-      # func = bsdf/cos_o (camera_bsdf.func in reference)
-      func = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
-      c_rgb = spx.to_film_rgb(func * state.throughput, state.wl, spectral)
-      contrib = c_rgb * grid.throughput_rgb[j] * (kern * weight)[..., None]
-      ok = ok & (bsdf_pdf > 0.0)
-      merged = merged + jnp.where(ok[..., None], contrib, 0.0)
+    j = jnp.minimum(start + k, grid.pos.shape[0] - 1)
+    in_range = (start + k) < end
+    vpos = grid.pos[j]
+    d = vpos - pos
+    dist2 = em.dot(d, d)
+    ok = in_range & grid.valid[j] & (dist2 <= r2)
+    ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
+    w_in = grid.w_i[j]
+    bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, variations)
+    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
+    w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
+    w_camera = w_cam_base + state.d_vm * rev_pdf
+    weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
+    # Epanechnikov kernel (vcm_shared.hxx:863-868)
+    kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
+    cos_o = jnp.abs(em.dot(sd.nrm, -w_in))
+    func = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
+    c_rgb = spx.to_film_rgb(func * state.throughput, state.wl, spectral)
+    contrib = c_rgb * grid.throughput_rgb[j] * (kern * weight)[..., None]
+    ok = ok & (bsdf_pdf > 0.0)
+    return merged + jnp.where(ok[..., None], contrib, 0.0)
+
+  merged = jax.lax.fori_loop(0, 8 * _MERGE_SCAN, body, merged)
   return merged
 
 
@@ -731,16 +740,20 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       gathered = gathered + jnp.where(ok[..., None], state.throughput * contrib, 0.0)
 
     # --- lane-aligned vertex connections (vcm_connect_to_light_path) ---
+    # fori_loop over stored slots: ONE traced body instead of V unrolled
+    # copies (the MS-walk evals inside would otherwise explode compile time)
     if options.connect_vertices:
-      for vi in range(options.max_stored_vertices):
-        lv_pos = verts.pos[:, vi]
-        lv_nrm = verts.nrm[:, vi]
-        lv_geo = verts.geo_n[:, vi]
-        lv_wi = verts.w_i[:, vi]
-        lv_thr = verts.throughput[:, vi]
-        lv_valid = verts.valid[:, vi]
-        lv_mat = pt._gather_mat(scene, verts.mat[:, vi])
-        target_len = state.path_depth + verts.path_length[:, vi] + 1
+      def connect_one(vi, carry):
+        gathered, rng_state = carry
+        take = lambda a: jax.lax.dynamic_index_in_dim(a, vi, axis=1, keepdims=False)
+        lv_pos = take(verts.pos)
+        lv_nrm = take(verts.nrm)
+        lv_geo = take(verts.geo_n)
+        lv_wi = take(verts.w_i)
+        lv_thr = take(verts.throughput)
+        lv_valid = take(verts.valid)
+        lv_mat = pt._gather_mat(scene, take(verts.mat))
+        target_len = state.path_depth + take(verts.path_length) + 1
         d = lv_pos - pos
         dist2 = jnp.maximum(em.dot(d, d), 1e-12)
         w_o = d / jnp.sqrt(dist2)[..., None]
@@ -749,8 +762,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
         # light side
         lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
-                          tan=verts.tan[:, vi], btn=verts.btn[:, vi],
-                          geo_n=lv_geo, tex=verts.uv[:, vi], wl=state.wl,
+                          tan=take(verts.tan), btn=take(verts.btn),
+                          geo_n=lv_geo, tex=take(verts.uv), wl=state.wl,
                           medium=state.medium, mat=lv_mat)
         lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes, config.diffuse_variations)
         l_rev = bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
@@ -760,8 +773,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         if config.has_media:
           # light vertex inside a medium: phase function on the light side
           # (vcm_connect_to_light_vertex, is_medium branch)
-          lv_is_med = verts.is_medium[:, vi]
-          lv_med = verts.medium[:, vi]
+          lv_is_med = take(verts.is_medium)
+          lv_med = take(verts.medium)
           lv_g = scene.mediums.phase_g[jnp.maximum(lv_med, 0)]
           p_l = media_mod.phase_hg(lv_wi, -w_o, lv_g)
           lb_val = jnp.where(lv_is_med[..., None], p_l[..., None], lb_val)
@@ -773,7 +786,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         w_dot_c = em.dot(nrm, w_o)
         cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
         light_area_pdf = lb_pdf * jnp.abs(w_dot_c) / dist2
-        w_light = cam_area_pdf * (vmw_pair + verts.d_vcm[:, vi] + verts.d_vc[:, vi] * l_rev)
+        w_light = cam_area_pdf * (vmw_pair + take(verts.d_vcm) + take(verts.d_vc) * l_rev)
         w_camera = light_area_pdf * (vmw_pair + state.d_vcm + state.d_vc * c_rev)
         weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
         sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
@@ -794,6 +807,10 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         if config.has_media:
           contrib = contrib * tr_vc
         gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
+        return gathered, rng_state
+
+      gathered, rng_state = jax.lax.fori_loop(
+          0, options.max_stored_vertices, connect_one, (gathered, rng_state))
 
     # --- merging (photon gather) ---
     if options.enable_merging:

@@ -104,9 +104,30 @@ def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple,
   return bsdf, pdf
 
 
+_PDFS = {
+    MC.Diffuse: lobes.diffuse_pdf,
+    MC.Translucent: lobes.translucent_pdf,
+    MC.Plastic: lobes.plastic_pdf,
+    MC.Conductor: lobes.conductor_pdf,
+    MC.Dielectric: lobes.dielectric_pdf,
+    MC.Velvet: lobes.velvet_pdf,
+}
+
+
 def pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
-  # pdfs never depend on the diffuse variation (bsdf_various.hxx:113-121)
-  _, p = evaluate(scene, sd, w_o, spectral, classes)
+  # per-lobe analytic pdfs: evaluating the full MS walks just for a pdf
+  # would instantiate their while_loops at every reverse_pdf call site
+  # (pdfs never depend on the diffuse variation, bsdf_various.hxx:113-121)
+  r = sd.w_i.shape[0]
+  p = jnp.zeros(r)
+  for cls in classes:
+    if cls == MC.Principled:
+      _, pp = _principled_evaluate(scene, sd, w_o, spectral)
+    elif cls in _PDFS:
+      pp = _PDFS[cls](scene, sd, w_o, spectral)
+    else:
+      continue
+    p = jnp.where(sd.mat.cls == cls, pp, p)
   return p
 
 

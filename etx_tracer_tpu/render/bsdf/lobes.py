@@ -373,8 +373,14 @@ def conductor_evaluate(scene, sd, w_o, spectral):
 
 
 def conductor_pdf(scene, sd, w_o, spectral):
-  _, pdf = conductor_evaluate(scene, sd, w_o, spectral)
-  return pdf
+  # analytic MS pdf (bsdf_conductor.hxx:119-136) — no walk instantiation
+  frame, _ = normal_frame(sd)
+  alpha = mf.clamp_alpha(_roughness(sd))
+  w_i_l = em.to_local(frame, -sd.w_i)
+  w_o_l = em.to_local(frame, w_o)
+  ok = (w_i_l[..., 2] > em.kEpsilon) & (w_o_l[..., 2] > em.kEpsilon)
+  delta = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1]) <= kDeltaAlpha
+  return jnp.where(ok & ~delta, mf.ms_pdf(w_i_l, w_o_l, alpha), 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -558,8 +564,18 @@ def dielectric_evaluate(scene, sd, w_o, spectral):
 
 
 def dielectric_pdf(scene, sd, w_o, spectral):
-  _, pdf = dielectric_evaluate(scene, sd, w_o, spectral)
-  return pdf
+  # analytic pdf (DielectricBSDF::pdf) — no walk instantiation
+  frame, ent = normal_frame(sd)
+  alpha = _roughness(sd)
+  delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
+  alpha_c = mf.clamp_alpha(alpha)
+  w_i_l = em.to_local(frame, -sd.w_i)
+  w_o_l = em.to_local(frame, w_o)
+  eta_io = _eta_ratio(scene, sd, spectral)
+  eta = jnp.where(ent, eta_io, 1.0 / jnp.maximum(eta_io, 1e-6))
+  pdf = _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral)
+  ok = (w_i_l[..., 2] > em.kEpsilon) & (jnp.abs(w_o_l[..., 2]) > em.kEpsilon) & ~delta
+  return jnp.where(ok, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------

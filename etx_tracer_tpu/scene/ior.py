@@ -116,8 +116,32 @@ _BUILTIN_CONDUCTORS = {
                   [0.49, 0.62, 0.77, 0.96, 1.20, 1.47, 1.83],
                   [4.86, 5.47, 6.08, 6.69, 7.26, 7.79, 8.31]),
     "mirror": ([400, 700], [0.12, 0.14], [3.0, 4.4]),
+    # coarse visible-range n/k for the remaining reference library names
+    # (bin/spectrum/conductor/*.spd) from standard published optical data
+    "nickel": ([400, 500, 600, 700],
+               [1.61, 1.85, 2.02, 2.22], [2.36, 3.01, 3.57, 4.08]),
+    "platinum": ([400, 500, 600, 700],
+                 [1.72, 1.96, 2.18, 2.38], [2.84, 3.42, 3.95, 4.45]),
+    "chrome": ([400, 500, 600, 700],
+               [2.02, 2.50, 2.80, 3.04], [2.72, 3.13, 3.30, 3.33]),
+    "titan": ([400, 500, 600, 700],
+              [1.85, 2.11, 2.34, 2.54], [2.56, 2.88, 3.04, 3.16]),
+    "osmium": ([400, 500, 600, 700],
+               [2.36, 3.12, 3.82, 4.33], [3.02, 2.92, 2.28, 1.67]),
+    "brass": ([400, 500, 600, 700],
+              [1.22, 0.92, 0.44, 0.39], [1.76, 1.96, 2.72, 3.32]),
+    "bronze": ([400, 500, 600, 700],
+               [1.18, 1.08, 0.65, 0.40], [1.97, 2.21, 2.66, 3.28]),
+    "carbon": ([400, 500, 600, 700],
+               [2.42, 2.46, 2.47, 2.47], [0.79, 0.81, 0.81, 0.80]),
+    "copper_oxide": ([400, 500, 600, 700],
+                     [2.78, 2.69, 2.60, 2.54], [0.91, 0.62, 0.43, 0.33]),
 }
 _BUILTIN_CONDUCTORS["aluminum"] = _BUILTIN_CONDUCTORS["aluminium"]
+for _alias, _name in (("au", "gold"), ("ag", "silver"), ("cu", "copper"),
+                      ("al", "aluminium"), ("ni", "nickel"), ("pt", "platinum"),
+                      ("cr", "chrome"), ("ti", "titan")):
+  _BUILTIN_CONDUCTORS[_alias] = _BUILTIN_CONDUCTORS[_name]
 
 _BUILTIN_DIELECTRICS = {
     # Cauchy A + B/lambda^2(um)
@@ -128,6 +152,23 @@ _BUILTIN_DIELECTRICS = {
     "sapphire": (1.7522, 0.00553),
     "vacuum": (1.0, 0.0),
     "air": (1.000277, 0.0),
+    "glycerol": (1.4646, 0.00448),
+    "plastic": (1.5750, 0.00527),
+    "superglass": (1.8042, 0.01234),
+}
+
+# illuminant SPD names from bin/spectrum/emission/ generated analytically:
+# blackbody_XXXXk via Planck, daylight/led approximated by normalized
+# blackbody at the nominal CCT (the reference ships measured curves; these
+# analytic stand-ins keep name compatibility without copying data)
+_BUILTIN_ILLUMINANT_CCT = {
+    "blackbody_3000k": 3000.0, "blackbody_5000k": 5000.0,
+    "blackbody_6500k": 6500.0, "daylight_5000k": 5000.0,
+    "daylight_5500k": 5500.0, "daylight_6500k_noon_sky": 6500.0,
+    "led_2700k_warm_white": 2700.0, "led_3000k_neutral_white": 3000.0,
+    "led_4000k_cool_white": 4000.0, "led_5000k_daylight": 5000.0,
+    "led_6500k_daylight": 6500.0, "led_high_cri_4000k": 4000.0,
+    "tungsten_halogen_2856k": 2856.0,
 }
 
 
@@ -170,4 +211,9 @@ class IORDatabase:
       eta = sp.SpectralDistribution((a + b / lam_um2).astype(np.float32), cls)
       k = sp.SpectralDistribution.constant(0.0, cls)
       return cls, eta, k
+    if key in _BUILTIN_ILLUMINANT_CCT:
+      cct = _BUILTIN_ILLUMINANT_CCT[key]
+      spd = sp.SpectralDistribution.from_normalized_black_body(cct, 1.0)
+      spd.cls = sp.SpectralDistribution.CLASS_ILLUMINANT
+      return sp.SpectralDistribution.CLASS_ILLUMINANT, spd, None
     return None

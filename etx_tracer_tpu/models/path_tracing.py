@@ -51,6 +51,15 @@ class PTState(NamedTuple):
   pixel: jnp.ndarray        # (R,) int32 film pixel this lane contributes to
   sample_iter: jnp.ndarray  # (R,) int32 sample iteration of this lane
   rays_traced: jnp.ndarray  # () float32 — useful rays (closest + shadow), for Mrays/s
+  # deferred-NEE pending shadow ray (resolved in the NEXT step's combined
+  # trace launch; avoids a standalone occlusion launch + its dependency
+  # stall, ~12% of the step). tmax < 0 = no pending.
+  psh_o: jnp.ndarray        # (R,3)
+  psh_d: jnp.ndarray        # (R,3)
+  psh_tmax: jnp.ndarray     # (R,)
+  psh_rgb: jnp.ndarray      # (R,3) film-RGB contribution if unoccluded
+  res_rgb: jnp.ndarray      # (R,3) resolved contribution from LAST step
+  res_valid: jnp.ndarray    # (R,) bool
 
 
 def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
@@ -99,7 +108,10 @@ def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
       rng_state=state, wl=wl, alive=alive,
       pixel=pixel_index.astype(jnp.int32),
       sample_iter=iteration.astype(jnp.int32),
-      rays_traced=jnp.zeros((), jnp.float32))
+      rays_traced=jnp.zeros((), jnp.float32),
+      psh_o=jnp.zeros((r, 3)), psh_d=jnp.zeros((r, 3)),
+      psh_tmax=jnp.full(r, -1.0), psh_rgb=jnp.zeros((r, 3)),
+      res_rgb=jnp.zeros((r, 3)), res_valid=jnp.zeros(r, bool))
 
 
 def make_payload(scene, config, iteration) -> PTState:
@@ -238,15 +250,35 @@ def _trace_transmittance(scene, config, rng_state, medium, from_pos, to_pos,
   return tr, rng_state
 
 
-def pt_step(scene, config, state: PTState) -> PTState:
-  """One wavefront bounce (run_path_iteration, path_tracing_shared.hxx:485)."""
+def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTState:
+  """One wavefront bounce (run_path_iteration, path_tracing_shared.hxx:485).
+
+  deferred_nee (static): trace the PREVIOUS step's NEE shadow ray in the
+  same launch as this step's closest hit and emit the resolved contribution
+  via res_rgb/res_valid; this step's NEE becomes the new pending ray. Used
+  by render_samples_static (film rows absorb the contributions); requires
+  no media and no radiance clamp."""
   spectral = config.spectral
   classes = config.material_classes
   r = state.ray_o.shape[0]
 
   # dead lanes trace a degenerate ray
   t_max = jnp.where(state.alive, state.t_max, 0.0)
-  hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d, state.t_min, t_max)
+  if deferred_nee:
+    # ONE launch: this step's path rays + last step's shadow rays
+    o2 = jnp.concatenate([state.ray_o, state.psh_o])
+    d2 = jnp.concatenate([state.ray_d, state.psh_d])
+    tmin2 = jnp.concatenate([state.t_min, jnp.full(r, em.kRayEpsilon)])
+    tmax2 = jnp.concatenate([t_max, jnp.maximum(state.psh_tmax, 0.0)])
+    hit2 = trace_ops.trace_closest(scene, o2, d2, tmin2, tmax2)
+    hit = trace_ops.Hit(hit2.t[:r], hit2.tri[:r], hit2.u[:r], hit2.v[:r])
+    sh_found = hit2.tri[r:] >= 0
+    res_valid = (state.psh_tmax > 0.0) & ~sh_found
+    res_rgb = jnp.where(res_valid[..., None], state.psh_rgb, 0.0)
+  else:
+    hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d, state.t_min, t_max)
+    res_valid = jnp.zeros(r, bool)
+    res_rgb = jnp.zeros((r, 3))
   found = hit.found & state.alive
 
   rng_state = state.rng_state
@@ -417,26 +449,41 @@ def pt_step(scene, config, state: PTState) -> PTState:
     bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes, config.diffuse_variations)
     # shadow ray from offset shading position toward the emitter point
     sh_o = _shading_pos(sd.geo_n, pos, esmp.direction)
-    if config.has_media:
-      # transmittance through boundary interfaces + media (rt.cxx:468-579)
-      tr_nee, rng_state = _trace_transmittance(
-          scene, config, rng_state, state.medium, sh_o, esmp.origin,
-          state.wl, spectral)
-      vis_ok = jnp.max(tr_nee, axis=-1) > 0.0
-    else:
-      to_em = esmp.origin - sh_o
-      dist = em.length(to_em)
-      occluded = trace_ops.trace_occluded(
-          scene, sh_o, esmp.direction, jnp.full(r, em.kRayEpsilon),
-          jnp.maximum(dist * (1.0 - 1e-3), 0.0))
-      tr_nee = 1.0
-      vis_ok = ~occluded
     w_mis = jnp.where(esmp.is_delta, 1.0,
                       em.power_heuristic(esmp.pdf_dir * esmp.pdf_sample, bsdf_pdf_at))
     denom = esmp.pdf_dir * esmp.pdf_sample
-    contrib = bsdf_val * esmp.value * tr_nee * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
-    nee_ok = can_nee & (denom > 0.0) & vis_ok & (bsdf_pdf_at > 0.0)
-    accumulated = accumulated + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
+    if deferred_nee:
+      to_em = esmp.origin - sh_o
+      dist = em.length(to_em)
+      contrib = bsdf_val * esmp.value * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
+      nee_ok = can_nee & (denom > 0.0) & (bsdf_pdf_at > 0.0)
+      pend_rgb = spx.to_film_rgb(throughput * contrib, state.wl, spectral)
+      psh_o = sh_o
+      psh_d = esmp.direction
+      psh_tmax = jnp.where(nee_ok, jnp.maximum(dist * (1.0 - 1e-3), 0.0), -1.0)
+      psh_rgb = jnp.where(nee_ok[..., None], pend_rgb, 0.0)
+    else:
+      if config.has_media:
+        # transmittance through boundary interfaces + media (rt.cxx:468-579)
+        tr_nee, rng_state = _trace_transmittance(
+            scene, config, rng_state, state.medium, sh_o, esmp.origin,
+            state.wl, spectral)
+        vis_ok = jnp.max(tr_nee, axis=-1) > 0.0
+      else:
+        to_em = esmp.origin - sh_o
+        dist = em.length(to_em)
+        occluded = trace_ops.trace_occluded(
+            scene, sh_o, esmp.direction, jnp.full(r, em.kRayEpsilon),
+            jnp.maximum(dist * (1.0 - 1e-3), 0.0))
+        tr_nee = 1.0
+        vis_ok = ~occluded
+      contrib = bsdf_val * esmp.value * tr_nee * (w_mis / jnp.maximum(denom, 1e-20))[..., None]
+      nee_ok = can_nee & (denom > 0.0) & vis_ok & (bsdf_pdf_at > 0.0)
+      accumulated = accumulated + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
+      psh_o = state.psh_o
+      psh_d = state.psh_d
+      psh_tmax = jnp.full(r, -1.0)
+      psh_rgb = state.psh_rgb
 
   # --- continuation ---
   # boundary: continue straight through with medium swap
@@ -489,7 +536,9 @@ def pt_step(scene, config, state: PTState) -> PTState:
       bsdf_pdf=new_bsdf_pdf, mis_flag=new_mis,
       rng_state=rng_state, wl=state.wl, alive=alive,
       pixel=state.pixel, sample_iter=state.sample_iter,
-      rays_traced=rays_traced)
+      rays_traced=rays_traced,
+      psh_o=psh_o, psh_d=psh_d, psh_tmax=psh_tmax, psh_rgb=psh_rgb,
+      res_rgb=res_rgb, res_valid=res_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -892,9 +941,15 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
                             jnp.int32(2 ** 30))
   counter0 = jnp.zeros(p, jnp.int32)
   lane_film = jnp.zeros((p, s_slots, _SUMS_WIDTH))
+  # deferred NEE: the pending shadow ray rides the next step's trace launch;
+  # its contribution goes straight into lane_film under the slot/parity it
+  # was generated with (pend_meta). Disabled with media (transmittance needs
+  # its own walk) or a radiance clamp (clamping is per-sample total).
+  deferred = (not config.has_media) and (not config.has_radiance_clamp)
+  pend_meta0 = jnp.zeros((p, 2), jnp.float32)  # [slot, even]
 
   def cond(carry):
-    state, counter, lane_film = carry
+    state, counter, lane_film, pend_meta = carry
     return jnp.any(state.alive)
 
   def body(carry):
@@ -902,9 +957,16 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
       carry = _body_once(carry)
     return carry
 
+  def _nee_row(rgb, valid, meta):
+    vmask = valid[..., None].astype(jnp.float32)
+    even = meta[:, 1:2]
+    z3 = jnp.zeros((p, 3))
+    return jnp.concatenate([rgb * vmask, z3, z3, rgb * vmask * even,
+                            jnp.zeros((p, 2))], axis=-1), meta[:, 0].astype(jnp.int32)
+
   def _body_once(carry):
-    state, counter, lane_film = carry
-    new_state = pt_step(scene, config, state)
+    state, counter, lane_film, pend_meta = carry
+    new_state = pt_step(scene, config, state, deferred_nee=deferred)
     died = state.alive & ~new_state.alive
 
     color = _lane_color(scene, config, new_state)
@@ -916,6 +978,17 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
     slot = jnp.clip(counter // n, 0, s_slots - 1)
     onehot = (slot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
     lane_film = lane_film + row[:, None, :] * onehot[:, :, None]
+
+    if deferred:
+      # resolved NEE from LAST step, credited to its origin slot/parity
+      nrow, nslot = _nee_row(new_state.res_rgb, new_state.res_valid, pend_meta)
+      nhot = (nslot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
+      lane_film = lane_film + nrow[:, None, :] * nhot[:, :, None]
+      new_pend_meta = jnp.stack(
+          [slot.astype(jnp.float32),
+           ((new_state.sample_iter % 2) == 0).astype(jnp.float32)], axis=-1)
+    else:
+      new_pend_meta = pend_meta
 
     new_counter = counter + died.astype(jnp.int32)
     has_more = new_counter < per_lane
@@ -932,11 +1005,28 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
 
     merged = jax.tree_util.tree_map(pick, fresh, new_state)
     merged = merged._replace(alive=jnp.where(died, regen, new_state.alive),
-                             rays_traced=new_state.rays_traced)
-    return merged, new_counter, lane_film
+                             rays_traced=new_state.rays_traced,
+                             # pending NEE survives lane regeneration: it
+                             # belongs to the PREVIOUS sample, credited via
+                             # pend_meta, resolved next step
+                             psh_o=new_state.psh_o, psh_d=new_state.psh_d,
+                             psh_tmax=new_state.psh_tmax,
+                             psh_rgb=new_state.psh_rgb)
+    return merged, new_counter, lane_film, new_pend_meta
 
-  state, counter, lane_film = jax.lax.while_loop(
-      cond, body, (state, counter0, lane_film))
+  state, counter, lane_film, pend_meta = jax.lax.while_loop(
+      cond, body, (state, counter0, lane_film, pend_meta0))
+
+  if deferred:
+    # drain the final unresolved pending shadows
+    occ = trace_ops.trace_occluded(scene, state.psh_o, state.psh_d,
+                                   jnp.full(p, em.kRayEpsilon),
+                                   jnp.maximum(state.psh_tmax, 0.0))
+    valid = (state.psh_tmax > 0.0) & ~occ
+    nrow, nslot = _nee_row(jnp.where(valid[..., None], state.psh_rgb, 0.0),
+                           valid, pend_meta)
+    nhot = (nslot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
+    lane_film = lane_film + nrow[:, None, :] * nhot[:, :, None]
 
   table = jnp.transpose(lane_film, (1, 0, 2)).reshape(npix, _SUMS_WIDTH)
   return FilmSums(table), state.rays_traced

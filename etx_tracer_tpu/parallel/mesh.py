@@ -139,4 +139,7 @@ def _make_band_payload(scene, config, iteration, row_offset, full_height):
       rng_state=state, wl=wl, alive=jnp.ones(r, bool),
       pixel=global_index.astype(jnp.int32),
       sample_iter=jnp.full(r, iteration, jnp.int32),
-      rays_traced=jnp.zeros((), jnp.float32))
+      rays_traced=jnp.zeros((), jnp.float32),
+      psh_o=jnp.zeros((r, 3)), psh_d=jnp.zeros((r, 3)),
+      psh_tmax=jnp.full(r, -1.0), psh_rgb=jnp.zeros((r, 3)),
+      res_rgb=jnp.zeros((r, 3)), res_valid=jnp.zeros(r, bool))

@@ -443,6 +443,7 @@ class SceneBuilder:
         emitter_classes=tuple(sorted({int(c) for c in inst_cls
                                       if c != st.EmitterClass.Undefined})) or (0,),
         equirectangular=self.camera_equirectangular,
+        has_radiance_clamp=self.radiance_clamp > 0.0,
         diffuse_variations=tuple(sorted({m.diffuse_variation for m in mats})) or (0,),
         has_alpha=(any(m.opacity < 1.0 for m in mats)
                    or any(m.scattering_img >= 0

@@ -237,3 +237,6 @@ class SceneConfig:
   has_alpha: bool = False
   # subsurface classes present (1 RandomWalk, 2 ChristensenBurley)
   subsurface_classes: tuple = (1,)
+  # a radiance clamp is configured (gates deferred NEE, which bypasses the
+  # per-sample clamp)
+  has_radiance_clamp: bool = False

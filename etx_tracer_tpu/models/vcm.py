@@ -754,12 +754,25 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         lv_valid = take(verts.valid)
         lv_mat = pt._gather_mat(scene, take(verts.mat))
         target_len = state.path_depth + take(verts.path_length) + 1
-        d = lv_pos - pos
+        # camera vertex position: the surface hit, or the sampled medium
+        # point for camera-at-medium lanes (vcm_connect_to_light_vertex,
+        # vcm_shared.hxx:673-678)
+        cpos = pos
+        if config.has_media:
+          cpos = jnp.where(medium_event[..., None], msample.pos, pos)
+        d = lv_pos - cpos
         dist2 = jnp.maximum(em.dot(d, d), 1e-12)
         w_o = d / jnp.sqrt(dist2)[..., None]
         # camera side
         cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
         c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+        if config.has_media:
+          # camera_at_medium: phase function replaces the BSDF
+          # (vcm_connect_to_light_vertex, vcm_shared.hxx:693-703)
+          p_c = media_mod.phase_hg(state.ray_d, w_o, mv.phase_g)
+          cb_val = jnp.where(medium_event[..., None], p_c[..., None], cb_val)
+          cb_pdf = jnp.where(medium_event, p_c, cb_pdf)
+          c_rev = jnp.where(medium_event, p_c, c_rev)
         # light side
         lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
                           tan=take(verts.tan), btn=take(verts.btn),
@@ -783,13 +796,25 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
           w_dot_l = jnp.where(lv_is_med, 1.0, w_dot_l)
           fix = jnp.where(lv_is_med, 1.0, fix)
           vmw_pair = jnp.where(lv_is_med, 0.0, vmw_pair)
-        w_dot_c = em.dot(nrm, w_o)
+        # light-side area-pdf camera factor: |cos| at a camera surface, 1
+        # for camera-at-medium (vcm_shared.hxx:742-746)
+        cam_factor = jnp.abs(em.dot(nrm, w_o))
+        if config.has_media:
+          cam_factor = jnp.where(medium_event, 1.0, cam_factor)
+          # vmW_pair = 0 if either endpoint is in a medium (:755)
+          vmw_pair = jnp.where(medium_event, 0.0, vmw_pair)
         cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
-        light_area_pdf = lb_pdf * jnp.abs(w_dot_c) / dist2
+        light_area_pdf = lb_pdf * cam_factor / dist2
         w_light = cam_area_pdf * (vmw_pair + take(verts.d_vcm) + take(verts.d_vc) * l_rev)
         w_camera = light_area_pdf * (vmw_pair + state.d_vcm + state.d_vc * c_rev)
         weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
         sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+        conn_lane = upd
+        if config.has_media:
+          sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
+          # explicit connections from a medium event are gated per medium
+          # (vcm_camera_step :961)
+          conn_lane = upd | (medium_event & mv.explicit_connections)
         seg_len = em.length(lv_pos - sh_o)
         if config.has_media:
           tr_vc, rng_state = pt._trace_transmittance(
@@ -800,7 +825,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
           tr_vc = None
           occ = trace_ops.trace_occluded(scene, sh_o, w_o,
                                          jnp.full(r, em.kRayEpsilon), seg_len * (1.0 - 1e-3))
-        ok = (upd & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
+        ok = (conn_lane & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
               & (target_len + 1 <= config.max_path_length))
         contrib = (cb_val * state.throughput) * (lb_val * lv_thr) \
             * (weight * fix / dist2)[..., None]

@@ -612,7 +612,7 @@ def thinfilm_sample(scene, sd, rnd, spectral):
 
 
 def plastic_evaluate(scene, sd, w_o, spectral):
-  frame, _ = normal_frame(sd)
+  frame, ent = normal_frame(sd)
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
   cos_i = w_i_l[..., 2]
@@ -627,9 +627,24 @@ def plastic_evaluate(scene, sd, w_o, spectral):
   diffuse = _scattering(scene, sd, spectral)
   specular = _reflectance(scene, sd, spectral)
 
-  d = mf.ggx_d(m, alpha)
-  g = mf.ggx_g1(w_i_l, m, alpha) * mf.ggx_g1(w_o_l, m, alpha)
-  spec_bsdf = specular * f * (d * g / jnp.maximum(4.0 * cos_i, 1e-9))[..., None]
+  # specular layer = Heitz MS dielectric walk restricted to the reflection
+  # side: specular_func = 2*eval_dielectric(...)*reflectance
+  # (bsdf_plastic.hxx:14-36); the walk value carries the output cosine
+  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+
+  def fres_walk(cos_t, outside):
+    return _fresnel_at(scene, sd, cos_t, spectral,
+                       swap=jnp.logical_xor(ent, outside))
+
+  def mono(v):
+    return spx.monochromatic(v, spectral)
+
+  eta_io = _eta_ratio(scene, sd, spectral)
+  eta = jnp.where(ent, eta_io, 1.0 / jnp.maximum(eta_io, 1e-6))
+  walk = ms.dielectric_eval_walk(
+      fres_walk, mono, eta, w_i_l, w_o_l, jnp.ones_like(ok),
+      alpha, w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1])
+  spec_bsdf = 2.0 * walk * specular
   diff_bsdf = diffuse * (1.0 - f) * (em.kInvPi * jnp.maximum(cos_o, 0.0))[..., None]
   bsdf = diff_bsdf + spec_bsdf
 
@@ -664,8 +679,20 @@ def plastic_sample(scene, sd, rnd, spectral):
 
 
 def plastic_pdf(scene, sd, w_o, spectral):
-  _, pdf = plastic_evaluate(scene, sd, w_o, spectral)
-  return pdf
+  """PlasticBSDF::pdf (bsdf_plastic.hxx:155-177) — walk-free analytic."""
+  frame, _ = normal_frame(sd)
+  w_i_l = em.to_local(frame, -sd.w_i)
+  w_o_l = em.to_local(frame, w_o)
+  cos_i = w_i_l[..., 2]
+  cos_o = w_o_l[..., 2]
+  ok = (cos_i > em.kEpsilon) & (cos_o > em.kEpsilon)
+  alpha = mf.clamp_alpha(_roughness(sd))
+  m = em.normalize(w_i_l + w_o_l)
+  f_mono = spx.monochromatic(
+      _fresnel_at(scene, sd, em.dot(w_i_l, m), spectral), spectral)
+  spec_pdf = mf.vndf_pdf(w_i_l, m, alpha) / jnp.maximum(4.0 * jnp.abs(em.dot(w_o_l, m)), 1e-9)
+  pdf = em.kInvPi * jnp.maximum(cos_o, 0.0) * (1.0 - f_mono) + f_mono * spec_pdf
+  return jnp.where(ok, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -582,15 +582,18 @@ class ObjSceneLoader:
 
 
 def _load_density_grid(path: str):
-  """Density grids: .npy arrays and Mitsuba .vol dense grids.
+  """Density grids: NanoVDB .nvdb, .npy arrays and Mitsuba .vol dense grids.
 
-  Replaces the reference's NanoVDB loader (medium_pool.cxx:94-150) for the
+  Covers the reference's NanoVDB loader (medium_pool.cxx:94-150) plus two
   dense-grid interchange formats; grids are normalized to max 1 downstream.
   """
   if not os.path.isfile(path):
     return None
   if path.endswith(".npy"):
     return np.load(path)
+  if path.endswith(".nvdb") or path.endswith(".nvdb.gz"):
+    from etx_tracer_tpu.scene import nvdb
+    return nvdb.read_nvdb_density(path)
   if path.endswith(".vol"):
     import struct as _struct
     with open(path, "rb") as f:

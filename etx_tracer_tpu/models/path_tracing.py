@@ -265,14 +265,14 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
   # dead lanes trace a degenerate ray
   t_max = jnp.where(state.alive, state.t_max, 0.0)
   if deferred_nee:
-    # ONE launch: this step's path rays + last step's shadow rays
-    o2 = jnp.concatenate([state.ray_o, state.psh_o])
-    d2 = jnp.concatenate([state.ray_d, state.psh_d])
-    tmin2 = jnp.concatenate([state.t_min, jnp.full(r, em.kRayEpsilon)])
-    tmax2 = jnp.concatenate([t_max, jnp.maximum(state.psh_tmax, 0.0)])
-    hit2 = trace_ops.trace_closest(scene, o2, d2, tmin2, tmax2)
-    hit = trace_ops.Hit(hit2.t[:r], hit2.tri[:r], hit2.u[:r], hit2.v[:r])
-    sh_found = hit2.tri[r:] >= 0
+    # two launches back to back: closest-hit for path rays, the cheaper
+    # any-hit kernel for last step's shadow rays (no concat HBM copies —
+    # the three concatenates cost as much as an entire trace kernel)
+    hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
+                                  state.t_min, t_max)
+    sh_found = trace_ops.trace_occluded(scene, state.psh_o, state.psh_d,
+                                        jnp.full(r, em.kRayEpsilon),
+                                        jnp.maximum(state.psh_tmax, 0.0))
     res_valid = (state.psh_tmax > 0.0) & ~sh_found
     res_rgb = jnp.where(res_valid[..., None], state.psh_rgb, 0.0)
   else:
@@ -917,7 +917,17 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
   unroll: pt_steps per while_loop iteration. Top-level loop iterations carry
   a large fixed dispatch overhead (~0.5 ms/iter through the device tunnel,
   measured with a scalar-carry fori_loop), so several wavefront steps are
-  fused into one loop body to amortize it."""
+  fused into one loop body to amortize it.
+
+  The pool runs as a CASCADE of progressively narrower phases: the alive
+  count is monotone non-increasing (a lane that exhausts its samples never
+  revives), so when alive drops below the next width the surviving lanes
+  are compacted 4x and the loop continues at 1/4 the VPU cost. This keeps
+  utilization high through the Russian-roulette geometric tail (single-phase
+  utilization measured ~34% on Cornell; the tail is ~2/3 of all steps).
+  Film stays scatter-free in every phase: a lane only ever touches its
+  s_slots own pixels (pixel = slot*p + lane), accumulated by slot one-hot.
+  """
   w, h = config.film_width, config.film_height
   npix = w * h
   n = num_iterations
@@ -928,107 +938,172 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
   p = npix // s_slots
   per_lane = s_slots * n
 
-  lane = jnp.arange(p, dtype=jnp.int32)
-
-  def ids_for(counter):
-    """Per-lane sample counter -> global sample id."""
-    slot = counter // n
-    it = first_iteration + (counter % n)
-    pixel = slot * p + lane
-    return it * npix + pixel
-
-  state = make_lane_payload(scene, config, ids_for(jnp.zeros(p, jnp.int32)),
-                            jnp.int32(2 ** 30))
-  counter0 = jnp.zeros(p, jnp.int32)
-  lane_film = jnp.zeros((p, s_slots, _SUMS_WIDTH))
   # deferred NEE: the pending shadow ray rides the next step's trace launch;
-  # its contribution goes straight into lane_film under the slot/parity it
-  # was generated with (pend_meta). Disabled with media (transmittance needs
-  # its own walk) or a radiance clamp (clamping is per-sample total).
+  # its contribution goes into the film under the slot/parity it was
+  # generated with (pend_meta). Disabled with media (transmittance needs its
+  # own walk) or a radiance clamp (clamping is per-sample total).
   deferred = (not config.has_media) and (not config.has_radiance_clamp)
-  pend_meta0 = jnp.zeros((p, 2), jnp.float32)  # [slot, even]
 
-  def cond(carry):
-    state, counter, lane_film, pend_meta = carry
-    return jnp.any(state.alive)
+  slot_ids = jnp.arange(s_slots)[None, :]
 
-  def body(carry):
-    for _ in range(unroll):
-      carry = _body_once(carry)
-    return carry
+  def phase(state, counter, lanes, pend_meta, film_rows, threshold: int):
+    """Run the pool at width lanes.shape[0] until alive <= threshold.
 
-  def _nee_row(rgb, valid, meta):
-    vmask = valid[..., None].astype(jnp.float32)
-    even = meta[:, 1:2]
-    z3 = jnp.zeros((p, 3))
-    return jnp.concatenate([rgb * vmask, z3, z3, rgb * vmask * even,
-                            jnp.zeros((p, 2))], axis=-1), meta[:, 0].astype(jnp.int32)
+    film_rows: (W, s_slots, _SUMS_WIDTH) slot-keyed accumulation.
+    Returns the final carry; pendings NOT drained (caller drains).
+    """
+    width = lanes.shape[0]
 
-  def _body_once(carry):
-    state, counter, lane_film, pend_meta = carry
-    new_state = pt_step(scene, config, state, deferred_nee=deferred)
-    died = state.alive & ~new_state.alive
+    def ids_for(counter):
+      slot = counter // n
+      it = first_iteration + (counter % n)
+      return it * npix + slot * p + lanes
 
-    color = _lane_color(scene, config, new_state)
-    dmask = died[..., None].astype(jnp.float32)
-    even = (died & ((new_state.sample_iter % 2) == 0))[..., None].astype(jnp.float32)
-    alb = spx.to_film_rgb(new_state.view_albedo, new_state.wl, config.spectral)
-    row = jnp.concatenate([color * dmask, new_state.view_normal * dmask,
-                           alb * dmask, color * even, dmask, even], axis=-1)
-    slot = jnp.clip(counter // n, 0, s_slots - 1)
-    onehot = (slot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
-    lane_film = lane_film + row[:, None, :] * onehot[:, :, None]
+    def nee_row(rgb, valid, meta):
+      vmask = valid[..., None].astype(jnp.float32)
+      even = meta[:, 1:2]
+      z3 = jnp.zeros((width, 3))
+      return jnp.concatenate([rgb * vmask, z3, z3, rgb * vmask * even,
+                              jnp.zeros((width, 2))], axis=-1), \
+          meta[:, 0].astype(jnp.int32)
 
-    if deferred:
-      # resolved NEE from LAST step, credited to its origin slot/parity
-      nrow, nslot = _nee_row(new_state.res_rgb, new_state.res_valid, pend_meta)
-      nhot = (nslot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
-      lane_film = lane_film + nrow[:, None, :] * nhot[:, :, None]
-      new_pend_meta = jnp.stack(
-          [slot.astype(jnp.float32),
-           ((new_state.sample_iter % 2) == 0).astype(jnp.float32)], axis=-1)
+    def body_once(carry):
+      state, counter, film_rows, pend_meta = carry
+      new_state = pt_step(scene, config, state, deferred_nee=deferred)
+      died = state.alive & ~new_state.alive
+
+      color = _lane_color(scene, config, new_state)
+      dmask = died[..., None].astype(jnp.float32)
+      even = (died & ((new_state.sample_iter % 2) == 0))[..., None].astype(jnp.float32)
+      alb = spx.to_film_rgb(new_state.view_albedo, new_state.wl, config.spectral)
+      row = jnp.concatenate([color * dmask, new_state.view_normal * dmask,
+                             alb * dmask, color * even, dmask, even], axis=-1)
+      slot = jnp.clip(counter // n, 0, s_slots - 1)
+      onehot = (slot[:, None] == slot_ids).astype(jnp.float32)
+      film_rows = film_rows + row[:, None, :] * onehot[:, :, None]
+
+      if deferred:
+        # resolved NEE from LAST step, credited to its origin slot/parity
+        nrow, nslot = nee_row(new_state.res_rgb, new_state.res_valid, pend_meta)
+        nhot = (nslot[:, None] == slot_ids).astype(jnp.float32)
+        film_rows = film_rows + nrow[:, None, :] * nhot[:, :, None]
+        new_pend_meta = jnp.stack(
+            [slot.astype(jnp.float32),
+             ((new_state.sample_iter % 2) == 0).astype(jnp.float32)], axis=-1)
+      else:
+        new_pend_meta = pend_meta
+
+      new_counter = counter + died.astype(jnp.int32)
+      has_more = new_counter < per_lane
+      fresh = make_lane_payload(scene, config, ids_for(new_counter),
+                                jnp.int32(2 ** 30))
+      regen = died & has_more
+
+      def pick(f, o):
+        if f.ndim == 0:
+          return o
+        m = regen
+        while m.ndim < f.ndim:
+          m = m[..., None]
+        return jnp.where(m, f, o)
+
+      merged = jax.tree_util.tree_map(pick, fresh, new_state)
+      merged = merged._replace(alive=jnp.where(died, regen, new_state.alive),
+                               rays_traced=new_state.rays_traced,
+                               # pending NEE survives lane regeneration: it
+                               # belongs to the PREVIOUS sample, credited via
+                               # pend_meta, resolved next step
+                               psh_o=new_state.psh_o, psh_d=new_state.psh_d,
+                               psh_tmax=new_state.psh_tmax,
+                               psh_rgb=new_state.psh_rgb)
+      return merged, new_counter, film_rows, new_pend_meta
+
+    def body(carry):
+      for _ in range(unroll):
+        carry = body_once(carry)
+      return carry
+
+    if threshold > 0:
+      def cond(carry):
+        return jnp.sum(carry[0].alive.astype(jnp.int32)) > threshold
     else:
-      new_pend_meta = pend_meta
+      def cond(carry):
+        return jnp.any(carry[0].alive)
 
-    new_counter = counter + died.astype(jnp.int32)
-    has_more = new_counter < per_lane
-    fresh = make_lane_payload(scene, config, ids_for(new_counter), jnp.int32(2 ** 30))
-    regen = died & has_more
+    return jax.lax.while_loop(cond, body,
+                              (state, counter, film_rows, pend_meta))
 
-    def pick(f, o):
-      if f.ndim == 0:
-        return o
-      m = regen
-      while m.ndim < f.ndim:
-        m = m[..., None]
-      return jnp.where(m, f, o)
-
-    merged = jax.tree_util.tree_map(pick, fresh, new_state)
-    merged = merged._replace(alive=jnp.where(died, regen, new_state.alive),
-                             rays_traced=new_state.rays_traced,
-                             # pending NEE survives lane regeneration: it
-                             # belongs to the PREVIOUS sample, credited via
-                             # pend_meta, resolved next step
-                             psh_o=new_state.psh_o, psh_d=new_state.psh_d,
-                             psh_tmax=new_state.psh_tmax,
-                             psh_rgb=new_state.psh_rgb)
-    return merged, new_counter, lane_film, new_pend_meta
-
-  state, counter, lane_film, pend_meta = jax.lax.while_loop(
-      cond, body, (state, counter0, lane_film, pend_meta0))
-
-  if deferred:
-    # drain the final unresolved pending shadows
+  def drain(state, pend_meta, film_rows):
+    """Resolve every lane's unresolved pending shadow ray."""
+    if not deferred:
+      return state, film_rows
+    width = state.alive.shape[0]
     occ = trace_ops.trace_occluded(scene, state.psh_o, state.psh_d,
-                                   jnp.full(p, em.kRayEpsilon),
+                                   jnp.full(width, em.kRayEpsilon),
                                    jnp.maximum(state.psh_tmax, 0.0))
     valid = (state.psh_tmax > 0.0) & ~occ
-    nrow, nslot = _nee_row(jnp.where(valid[..., None], state.psh_rgb, 0.0),
-                           valid, pend_meta)
-    nhot = (nslot[:, None] == jnp.arange(s_slots)[None, :]).astype(jnp.float32)
-    lane_film = lane_film + nrow[:, None, :] * nhot[:, :, None]
+    rgb = jnp.where(valid[..., None], state.psh_rgb, 0.0)
+    vmask = valid[..., None].astype(jnp.float32)
+    even = pend_meta[:, 1:2]
+    z3 = jnp.zeros((width, 3))
+    nrow = jnp.concatenate([rgb * vmask, z3, z3, rgb * vmask * even,
+                            jnp.zeros((width, 2))], axis=-1)
+    nslot = pend_meta[:, 0].astype(jnp.int32)
+    nhot = (nslot[:, None] == slot_ids).astype(jnp.float32)
+    film_rows = film_rows + nrow[:, None, :] * nhot[:, :, None]
+    return state._replace(psh_tmax=jnp.full(width, -1.0)), film_rows
 
-  table = jnp.transpose(lane_film, (1, 0, 2)).reshape(npix, _SUMS_WIDTH)
+  # cascade widths: p, p//4, p//16, ... (min 4096)
+  widths = [p]
+  while widths[-1] // 4 >= 4096 and len(widths) < 4:
+    widths.append(widths[-1] // 4)
+
+  lane0 = jnp.arange(p, dtype=jnp.int32)
+  state = make_lane_payload(
+      scene, config,
+      first_iteration * npix + lane0, jnp.int32(2 ** 30))
+  counter = jnp.zeros(p, jnp.int32)
+  lanes = lane0
+  pend_meta = jnp.zeros((p, 2), jnp.float32)
+  film_rows = jnp.zeros((p, s_slots, _SUMS_WIDTH))
+  table = jnp.zeros((npix, _SUMS_WIDTH))
+
+  for li, width in enumerate(widths):
+    last = li == len(widths) - 1
+    threshold = 0 if last else widths[li + 1]
+    state, counter, film_rows, pend_meta = phase(
+        state, counter, lanes, pend_meta, film_rows, threshold)
+    # drain pendings at this width BEFORE dropping any lane
+    state, film_rows = drain(state, pend_meta, film_rows)
+
+    # fold this phase's film rows into the global table
+    if width == p:
+      table = table + jnp.transpose(film_rows, (1, 0, 2)).reshape(
+          npix, _SUMS_WIDTH)
+    else:
+      pix = (jnp.arange(s_slots)[None, :] * p + lanes[:, None]).reshape(-1)
+      table = table.at[pix].add(
+          film_rows.reshape(width * s_slots, _SUMS_WIDTH))
+
+    if last:
+      break
+
+    # compact the <=threshold surviving lanes into the next width
+    nw = widths[li + 1]
+    order = jnp.argsort(~state.alive)  # alive lanes first (stable)
+    sel = order[:nw]
+
+    def take(x):
+      if getattr(x, "ndim", 0) == 0:
+        return x
+      return x[sel]
+
+    state = jax.tree_util.tree_map(take, state)
+    counter = counter[sel]
+    lanes = lanes[sel]
+    pend_meta = jnp.zeros((nw, 2), jnp.float32)
+    film_rows = jnp.zeros((nw, s_slots, _SUMS_WIDTH))
+
   return FilmSums(table), state.rays_traced
 
 

@@ -447,6 +447,14 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
     esmp = emitters_mod.sample_emitter(scene, em_idx, rnd_em, pos, state.wl, spectral,
                                       classes=config.emitter_classes)
     bsdf_val, bsdf_pdf_at = bsdf_dispatch.evaluate(scene, sd, esmp.direction, spectral, classes, config.diffuse_variations)
+    if config.has_subsurface:
+      # SSS exits shade with the white-diffuse exit material and carry the
+      # gather weight (path_tracing_shared.hxx:419-426 weights[i] *
+      # evaluate_light with scene.subsurface_exit_material)
+      white = em.kInvPi * jnp.maximum(em.dot(sd.nrm, esmp.direction), 0.0)
+      bsdf_val = jnp.where(sss_ok[..., None], white[..., None] * gather.weight,
+                           bsdf_val)
+      bsdf_pdf_at = jnp.where(sss_ok, white, bsdf_pdf_at)
     # shadow ray from offset shading position toward the emitter point
     sh_o = _shading_pos(sd.geo_n, pos, esmp.direction)
     w_mis = jnp.where(esmp.is_delta, 1.0,

@@ -505,10 +505,13 @@ _MERGE_SCAN = 32
 
 def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
                  radius, vc_weight, options: VCMOptions, classes, spectral: bool,
-                 variations: tuple = (0,)):
+                 variations: tuple = (0,), exit_mask=None, exit_weight=None):
   """Photon gather over the 8 neighbor cells (vcm_shared.hxx:886-924).
 
   Sorted-segment scan with a static per-cell bound; returns (R,3) RGB.
+  exit_mask/exit_weight: lanes merging at a subsurface exit shade with the
+  white-diffuse exit material scaled by the gather weight
+  (vcm_camera_step :1067-1069 merging after SSS substitution).
   """
   r = sd.w_i.shape[0]
   pos = sd.tex * 0.0  # placeholder, overwritten below
@@ -551,6 +554,13 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
     w_in = grid.w_i[j]
     bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, variations)
     rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
+    if exit_mask is not None:
+      white = em.kInvPi * jnp.maximum(em.dot(sd.nrm, -w_in), 0.0)
+      bsdf_val = jnp.where(exit_mask[..., None], white[..., None] * exit_weight,
+                           bsdf_val)
+      bsdf_pdf = jnp.where(exit_mask, white, bsdf_pdf)
+      rev_pdf = jnp.where(exit_mask,
+                          em.kInvPi * jnp.abs(em.dot(sd.w_i, sd.nrm)), rev_pdf)
     w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
     w_camera = w_cam_base + state.d_vm * rev_pdf
     weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
@@ -685,6 +695,56 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       gathered = gathered + jnp.where(ok[..., None],
                                       state.throughput * e_value * weight[..., None], 0.0)
 
+    # --- BSDF sample (moved before connections: its lobe routes SSS, and
+    # vcm_camera_step samples before connecting, vcm_shared.hxx:1024-1031) ---
+    rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
+    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes,
+                              config.diffuse_variations)
+
+    # --- subsurface routing (vcm_camera_step :1033-1065): connections, NEE
+    # and merging shade at the SSS exit with the white-diffuse exit material
+    # scaled by the gather weight; continuation is a cosine lobe there ---
+    sss_ok = jnp.zeros(r, bool)
+    if config.has_subsurface:
+      from etx_tracer_tpu.render import subsurface as sss_mod
+      from etx_tracer_tpu.scene.types import SubsurfaceClass
+      sss_path = (upd & (mat.subsurface_cls != SubsurfaceClass.Disabled)
+                  & bs.is_reflection & bs.is_diffuse)
+      sss_gather, rng_state = sss_mod.gather(
+          scene, sd, trows.mat, pos, rng_state, sss_path, spectral,
+          config.subsurface_classes)
+      sss_ok = sss_path & sss_gather.found
+      okn = sss_ok[..., None]
+      pos = jnp.where(okn, sss_gather.pos, pos)
+      nrm = jnp.where(okn, sss_gather.nrm, nrm)
+      sd = sd._replace(
+          w_i=jnp.where(okn, sss_gather.w_i, sd.w_i),
+          nrm=jnp.where(okn, sss_gather.nrm, sd.nrm),
+          tan=jnp.where(okn, sss_gather.tan, sd.tan),
+          btn=jnp.where(okn, sss_gather.btn, sd.btn),
+          geo_n=jnp.where(okn, sss_gather.geo_n, sd.geo_n),
+          tex=jnp.where(okn, sss_gather.uv, sd.tex))
+      rng_state, sss_rnd = rng.next_2d(rng_state)
+      sss_dir = em.sample_cosine_distribution_n(sss_rnd, sss_gather.nrm, 1.0)
+      sss_pdf = jnp.abs(em.dot(sss_dir, sss_gather.nrm)) * em.kInvPi
+      bs = bs._replace(
+          w_o=jnp.where(okn, sss_dir, bs.w_o),
+          weight=jnp.where(okn, sss_gather.weight, bs.weight),
+          pdf=jnp.where(sss_ok, sss_pdf, bs.pdf),
+          eta=jnp.where(sss_ok, 1.0, bs.eta),
+          is_delta=jnp.where(sss_ok, False, bs.is_delta))
+
+    def _sss_override(val, pdf_f, rev, w_o):
+      """Swap camera-side lobe results for the white-diffuse exit lobe."""
+      if not config.has_subsurface:
+        return val, pdf_f, rev
+      white = em.kInvPi * jnp.maximum(em.dot(sd.nrm, w_o), 0.0)
+      val = jnp.where(sss_ok[..., None], white[..., None] * sss_gather.weight, val)
+      pdf_f = jnp.where(sss_ok, white, pdf_f)
+      rev = jnp.where(sss_ok,
+                      em.kInvPi * jnp.abs(em.dot(sd.w_i, sd.nrm)), rev)
+      return val, pdf_f, rev
+
     # --- NEE (vcm_connect_to_light, :608-667) ---
     if options.connect_to_light:
       rng_state, rnd_sel = rng.next_float(rng_state)
@@ -698,6 +758,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       w_o = esmp.direction
       b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
       rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+      b_val, b_pdf, rev = _sss_override(b_val, b_pdf, rev, w_o)
       if config.has_media:
         # camera_at_medium: phase function in place of the BSDF
         # (vcm_connect_to_light, :627-634)
@@ -705,7 +766,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         b_val = jnp.where(medium_event[..., None], p_nee[..., None], b_val)
         b_pdf = jnp.where(medium_event, p_nee, b_pdf)
         rev = jnp.where(medium_event, p_nee, rev)
-      sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+      sh_o = pt._shading_pos(sd.geo_n, pos, w_o)
       if config.has_media:
         sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
       dist = em.length(esmp.origin - sh_o)
@@ -720,7 +781,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                                             jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
       denom = esmp.pdf_dir * esmp.pdf_sample
       l_dot_e = jnp.maximum(jnp.abs(em.dot(esmp.direction, esmp.normal)), 1e-6)
-      cam_factor = jnp.abs(em.dot(w_o, trows.geo_n))
+      cam_factor = jnp.abs(em.dot(w_o, sd.geo_n))
       vmw_nee = jnp.full(r, vm_weight)
       if config.has_media:
         cam_factor = jnp.where(medium_event, 1.0, cam_factor)
@@ -766,6 +827,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         # camera side
         cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
         c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+        cb_val, cb_pdf, c_rev = _sss_override(cb_val, cb_pdf, c_rev, w_o)
         if config.has_media:
           # camera_at_medium: phase function replaces the BSDF
           # (vcm_connect_to_light_vertex, vcm_shared.hxx:693-703)
@@ -808,7 +870,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         w_light = cam_area_pdf * (vmw_pair + take(verts.d_vcm) + take(verts.d_vc) * l_rev)
         w_camera = light_area_pdf * (vmw_pair + state.d_vcm + state.d_vc * c_rev)
         weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
-        sh_o = pt._shading_pos(trows.geo_n, pos, w_o)
+        sh_o = pt._shading_pos(sd.geo_n, pos, w_o)
         conn_lane = upd
         if config.has_media:
           sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
@@ -837,12 +899,14 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       gathered, rng_state = jax.lax.fori_loop(
           0, options.max_stored_vertices, connect_one, (gathered, rng_state))
 
-    # --- merging (photon gather) ---
+    # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:
       mstate = state._replace(ray_o=pos)
       merged = merge_gather(scene, grid, sd, mstate, radius, vc_weight,
                             options, classes, spectral,
-                            config.diffuse_variations)
+                            config.diffuse_variations,
+                            exit_mask=sss_ok if config.has_subsurface else None,
+                            exit_weight=sss_gather.weight if config.has_subsurface else None)
       merged_total = merged_total + jnp.where(upd[..., None], merged, 0.0)
 
     # --- medium phase continuation (vcm_camera_step :954-996) ---
@@ -872,10 +936,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     else:
       me = jnp.zeros(r, bool)
 
-    # --- continue: bsdf sample + recurrences ---
-    rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
-    bs = bsdf_dispatch.sample(scene, sd, rnd_bsdf, spectral, classes,
-                              config.diffuse_variations)
+    # --- continue: recurrences on the (possibly SSS-substituted) sample ---
     new_thr = state.throughput * bs.weight
     rng_state, rr_rnd = rng.next_float(rng_state)
     new_depth = state.path_depth + 1
@@ -883,6 +944,10 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                                         state.eta * bs.eta, rr_rnd, new_thr)
     cos_bsdf = jnp.abs(em.dot(nrm, bs.w_o))
     rev2 = bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
+    if config.has_subsurface:
+      # vcm_next_ray subsurface branch: rev pdf of the exit cosine lobe
+      # (vcm_shared.hxx:260-262)
+      rev2 = jnp.where(sss_ok, em.kInvPi * jnp.abs(em.dot(sd.w_i, nrm)), rev2)
     nd_vc = jnp.where(bs.is_delta, state.d_vc * cos_bsdf,
                       (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
                       * (state.d_vc * rev2 + state.d_vcm + vm_weight))
@@ -890,14 +955,18 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                       (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
                       * (state.d_vm * rev2 + state.d_vcm * vc_weight + 1.0))
     nd_vcm = jnp.where(bs.is_delta, 0.0, 1.0 / jnp.maximum(bs.pdf, 1e-20))
-    new_o = pt._shading_pos(trows.geo_n, pos, bs.w_o)
+    new_o = pt._shading_pos(sd.geo_n, pos, bs.w_o)
 
     ent = em.dot(nrm, state.ray_d) < 0.0
     b_medium = jnp.where(ent, mat.int_medium, mat.ext_medium)
-    b_o = pt._shading_pos(trows.geo_n, pos, state.ray_d)
+    b_o = pt._shading_pos(sd.geo_n, pos, state.ray_d)
 
     surf_alive = upd & cont & (bs.pdf > 0.0) & (new_depth <= config.max_path_length) \
         & (jnp.max(new_thr, axis=-1) > 0.0)
+    if config.has_subsurface:
+      # lanes that chose the SSS path but failed the gather die after their
+      # surface connections (vcm_camera_step :1071-1073)
+      surf_alive = surf_alive & ~(sss_path & ~sss_gather.found)
 
     state = state._replace(
         ray_o=jnp.where(me[..., None], state.ray_o,

@@ -97,6 +97,9 @@ class SSSGather(NamedTuple):
   uv: jnp.ndarray        # (R,2)
   tri: jnp.ndarray       # (R,) int32
   weight: jnp.ndarray    # (R,C) path throughput through the medium
+  w_i: jnp.ndarray       # (R,3) incident direction at the exit (walk/probe
+                         # direction; the exit intersection's w_i in the
+                         # reference's Gather, used by VCM reverse pdfs)
 
 
 def gather_rw(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
@@ -146,7 +149,7 @@ def gather_rw(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
     found = found | exited
     exit_new = jnp.concatenate([
         u[..., None], v[..., None], tri_hit.astype(jnp.float32)[..., None],
-        thr_new], axis=-1)
+        d, thr_new], axis=-1)
     exit_data = jnp.where(exited[..., None], exit_new, exit_data)
 
     # continue walking: move and sample isotropic phase (g=0)
@@ -158,7 +161,7 @@ def gather_rw(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
     walk_active = walk_active & ~exited & ~dead
     return rng_state, o, d, thr, found, exit_data, walk_active, it + 1
 
-  exit_data0 = jnp.zeros((r, 3 + c))
+  exit_data0 = jnp.zeros((r, 6 + c))
   carry = (rng_state, o0, d0, jnp.ones((r, c)), jnp.zeros(r, bool),
            exit_data0, active, jnp.int32(0))
   rng_state, _, _, _, found, exit_data, _, _ = jax.lax.while_loop(cond, body, carry)
@@ -166,7 +169,8 @@ def gather_rw(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
   u = exit_data[:, 0]
   v = exit_data[:, 1]
   tri = exit_data[:, 2].astype(jnp.int32)
-  weight = exit_data[:, 3:]
+  exit_wi = exit_data[:, 3:6]
+  weight = exit_data[:, 6:]
 
   tri_s = jnp.maximum(tri, 0)
   trows = packed.TriRows(gops.take_rows(scene.tri_table, tri_s))
@@ -183,7 +187,7 @@ def gather_rw(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
 
   return SSSGather(found=found, pos=pos, nrm=nrm, geo_n=trows.geo_n,
                    tan=tan, btn=btn, uv=uv, tri=tri,
-                   weight=weight), rng_state
+                   weight=weight, w_i=exit_wi), rng_state
 
 
 # ---------------------------------------------------------------------------
@@ -252,6 +256,7 @@ def gather_cb(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
   sel_w = jnp.zeros(r)            # average weight of the selected exit
   sel_weight = jnp.zeros((r, c))  # spectral weight of the selected exit
   sel_exit = jnp.zeros((r, 3), jnp.float32)  # u, v, tri
+  sel_wi = jnp.zeros((r, 3), jnp.float32)    # probe direction of the pick
   found_any = jnp.zeros(r, bool)
 
   for (fu, fv, fw, probs) in frames:
@@ -309,6 +314,7 @@ def gather_cb(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
       sel_exit = jnp.where(take[..., None],
                            jnp.stack([u_i, v_i, tri_i.astype(jnp.float32)], -1),
                            sel_exit)
+      sel_wi = jnp.where(take[..., None], probe_d, sel_wi)
       found_any = found_any | ok
 
       # advance past this exit
@@ -326,7 +332,8 @@ def gather_cb(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool):
   weight = sel_weight * ris[..., None]
   return SSSGather(found=found_any, pos=pos, nrm=nrm, geo_n=geo_n,
                    tan=tan, btn=btn, uv=uv, tri=tri,
-                   weight=jnp.where(found_any[..., None], weight, 0.0)), rng_state
+                   weight=jnp.where(found_any[..., None], weight, 0.0),
+                   w_i=sel_wi), rng_state
 
 
 def gather(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool,
@@ -356,5 +363,6 @@ def gather(scene, sd, mat_idx, entry_pos, rng_state, active, spectral: bool,
       btn=jnp.where(mN, g_cb.btn, g_rw.btn),
       uv=jnp.where(mN, g_cb.uv, g_rw.uv),
       tri=jnp.where(m, g_cb.tri, g_rw.tri),
-      weight=jnp.where(mN, g_cb.weight, g_rw.weight))
+      weight=jnp.where(mN, g_cb.weight, g_rw.weight),
+      w_i=jnp.where(mN, g_cb.w_i, g_rw.w_i))
   return merged, rng_state

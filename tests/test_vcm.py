@@ -140,3 +140,41 @@ class TestVCMMedia:
     es = em_mod.sample_emission(scene, sel, p2, d2, jnp.zeros(r), False)
     # light sits inside the fog: emission starts in the fog medium
     assert int(np.asarray(es.medium_index).max()) >= 0
+
+
+class TestVCMSubsurface:
+  """VCM camera-pass SSS routing (vcm_camera_step, vcm_shared.hxx:1033-1073):
+  connections/NEE/merge shade at the gather exit with the white-diffuse exit
+  material x gather weight; continuation is a cosine lobe at the exit."""
+
+  def _scene(self, cls):
+    import dataclasses as dc
+    from etx_tracer_tpu.core import spectrum as sp
+    from etx_tracer_tpu.scene import types as st
+    b = cornell.build_cornell_box(film_size=(16, 16), diffuse_only=True,
+                                  max_path_length=5)
+    gi = b.material_names["gray"]
+    dist = b.add_spectrum(sp.SpectralDistribution.rgb_reflectance([0.3, 0.1, 0.05]))
+    b.materials[gi] = dc.replace(b.materials[gi], subsurface_cls=cls,
+                                 subsurface_spec=dist)
+    return b.build()
+
+  def test_vcm_sss_cross_integrator_agreement(self):
+    from etx_tracer_tpu.scene import types as st
+    scene, config = self._scene(st.SubsurfaceClass.RandomWalk)
+    assert config.has_subsurface
+    fs_pt = path_tracing.render(scene, config, iterations=8)
+    ptm = float(np.asarray(film_mod.result_image(fs_pt)).mean())
+    assert ptm > 0
+
+    fs_b = vcm.render(scene, config, iterations=8, options=vcm.bdpt_options())
+    img_b = np.asarray(film_mod.result_image(fs_b))
+    assert np.isfinite(img_b).all()
+    bd = float(img_b.mean()) / ptm
+    assert 0.8 < bd < 1.3, bd
+
+    fs_v = vcm.render(scene, config, iterations=8)
+    img_v = np.asarray(film_mod.result_image(fs_v))
+    assert np.isfinite(img_v).all()
+    vc = float(img_v.mean()) / ptm
+    assert 0.8 < vc < 1.4, vc

@@ -538,12 +538,16 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
     iz = bc[:, 2] if ci & 4 else ac[:, 2]
     cs.append(_cell_hash(ix, iy, iz))
   cells = jnp.stack(cs, axis=0)  # (8, R)
+  # segment ranges hoisted out of the scan: ONE batched searchsorted for all
+  # 8 neighbor cells instead of one per loop iteration
+  starts = jnp.searchsorted(grid.sorted_cell, cells, side="left")   # (8,R)
+  ends = jnp.searchsorted(grid.sorted_cell, cells, side="right")    # (8,R)
 
   def body(it, merged):
     ci = it // _MERGE_SCAN
     k = it % _MERGE_SCAN
-    cell = jax.lax.dynamic_index_in_dim(cells, ci, axis=0, keepdims=False)
-    start, end = _segment_range(grid, cell)
+    start = jax.lax.dynamic_index_in_dim(starts, ci, axis=0, keepdims=False)
+    end = jax.lax.dynamic_index_in_dim(ends, ci, axis=0, keepdims=False)
     j = jnp.minimum(start + k, grid.pos.shape[0] - 1)
     in_range = (start + k) < end
     vpos = grid.pos[j]

@@ -58,6 +58,10 @@ _EVALUATORS = {
 # 5 principled metalness pick; 6 principled transmission pick
 NUM_SAMPLE_RND = 7
 
+# classes whose lobes run Heitz MS walks: their sample/evaluate take a
+# `mask` start-mask so the while_loop only iterates for consuming lanes
+_WALK_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric})
+
 
 def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
            classes: tuple, variations: tuple = (0,)) -> lobes.BSDFSampleR:
@@ -70,15 +74,19 @@ def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
       is_diffuse=jnp.zeros(r, bool), is_reflection=jnp.zeros(r, bool),
       medium=sd.medium)
   for cls in classes:
+    cls_mask = sd.mat.cls == cls
     if cls == MC.Principled:
-      out = _principled_sample(scene, sd, rnd, spectral)
+      out = _principled_sample(scene, sd, rnd, spectral, mask=cls_mask)
     elif cls == MC.Diffuse:
-      out = lobes.diffuse_sample(scene, sd, rnd, spectral, variations)
+      out = lobes.diffuse_sample(scene, sd, rnd, spectral, variations,
+                                 mask=cls_mask)
+    elif cls in _WALK_CLASSES:
+      out = _SAMPLERS[cls](scene, sd, rnd, spectral, mask=cls_mask)
     elif cls in _SAMPLERS:
       out = _SAMPLERS[cls](scene, sd, rnd, spectral)
     else:  # Void
       continue
-    result = _select_sample(sd.mat.cls == cls, out, result)
+    result = _select_sample(cls_mask, out, result)
   return result
 
 
@@ -90,17 +98,20 @@ def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple,
   bsdf = jnp.zeros((r, c))
   pdf = jnp.zeros(r)
   for cls in classes:
+    cls_mask = sd.mat.cls == cls
     if cls == MC.Principled:
-      b, p = _principled_evaluate(scene, sd, w_o, spectral)
+      b, p = _principled_evaluate(scene, sd, w_o, spectral, mask=cls_mask)
     elif cls == MC.Diffuse:
-      b, p = lobes.diffuse_evaluate(scene, sd, w_o, spectral, variations)
+      b, p = lobes.diffuse_evaluate(scene, sd, w_o, spectral, variations,
+                                    mask=cls_mask)
+    elif cls in _WALK_CLASSES:
+      b, p = _EVALUATORS[cls](scene, sd, w_o, spectral, mask=cls_mask)
     elif cls in _EVALUATORS:
       b, p = _EVALUATORS[cls](scene, sd, w_o, spectral)
     else:
       continue
-    mask = sd.mat.cls == cls
-    bsdf = jnp.where(mask[..., None], b, bsdf)
-    pdf = jnp.where(mask, p, pdf)
+    bsdf = jnp.where(cls_mask[..., None], b, bsdf)
+    pdf = jnp.where(cls_mask, p, pdf)
   return bsdf, pdf
 
 
@@ -122,7 +133,7 @@ def pdf(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple):
   p = jnp.zeros(r)
   for cls in classes:
     if cls == MC.Principled:
-      _, pp = _principled_evaluate(scene, sd, w_o, spectral)
+      pp = _principled_pdf(scene, sd, w_o, spectral)
     elif cls in _PDFS:
       pp = _PDFS[cls](scene, sd, w_o, spectral)
     else:
@@ -183,29 +194,50 @@ def _principled_variants(scene, sd):
   return sdc, sd
 
 
-def _principled_sample(scene, sd, rnd, spectral):
+def _principled_pdf(scene, sd, w_o, spectral):
+  """Walk-free principled pdf: the same metal/transmission mixture as
+  _principled_evaluate but over the analytic per-lobe pdfs."""
+  metal = sd.mat.metalness
+  trans = sd.mat.transmission
+  sdc, sdd = _principled_variants(scene, sd)
+  p_c = lobes.conductor_pdf(scene, sdc, w_o, spectral)
+  p_d = lobes.dielectric_pdf(scene, sdd, w_o, spectral)
+  p_p = lobes.plastic_pdf(scene, sdd, w_o, spectral)
+  return p_c * metal + p_d * (1.0 - metal) * trans \
+      + p_p * (1.0 - metal) * (1.0 - trans)
+
+
+def _principled_sample(scene, sd, rnd, spectral, mask=None):
   metal = sd.mat.metalness
   trans = sd.mat.transmission
   sdc, sdd = _principled_variants(scene, sd)
   pick_metal = rnd[..., 5] < metal
   pick_trans = rnd[..., 6] < trans
-  s_cond = lobes.conductor_sample(scene, sdc, rnd, spectral)
-  s_diel = lobes.dielectric_sample(scene, sdd, rnd, spectral)
-  s_plas = lobes.plastic_sample(scene, sdd, rnd, spectral)
+  m = jnp.ones_like(pick_metal) if mask is None else mask
+  s_cond = lobes.conductor_sample(scene, sdc, rnd, spectral,
+                                  mask=m & pick_metal)
+  s_diel = lobes.dielectric_sample(scene, sdd, rnd, spectral,
+                                   mask=m & ~pick_metal & pick_trans)
+  s_plas = lobes.plastic_sample(scene, sdd, rnd, spectral,
+                                mask=m & ~pick_metal & ~pick_trans)
   non_metal = _select_sample(pick_trans, s_diel, s_plas)
   return _select_sample(pick_metal, s_cond, non_metal)
 
 
-def _principled_evaluate(scene, sd, w_o, spectral):
+def _principled_evaluate(scene, sd, w_o, spectral, mask=None):
   metal = sd.mat.metalness
   trans = sd.mat.transmission
   sdc, sdd = _principled_variants(scene, sd)
-  b_c, p_c = lobes.conductor_evaluate(scene, sdc, w_o, spectral)
-  b_d, p_d = lobes.dielectric_evaluate(scene, sdd, w_o, spectral)
-  b_p, p_p = lobes.plastic_evaluate(scene, sdd, w_o, spectral)
   w_c = metal
   w_d = (1.0 - metal) * trans
   w_p = (1.0 - metal) * (1.0 - trans)
+  m = jnp.ones_like(w_c, bool) if mask is None else mask
+  b_c, p_c = lobes.conductor_evaluate(scene, sdc, w_o, spectral,
+                                      mask=m & (w_c > 0.0))
+  b_d, p_d = lobes.dielectric_evaluate(scene, sdd, w_o, spectral,
+                                       mask=m & (w_d > 0.0))
+  b_p, p_p = lobes.plastic_evaluate(scene, sdd, w_o, spectral,
+                                    mask=m & (w_p > 0.0))
   bsdf = b_c * w_c[..., None] + b_d * w_d[..., None] + b_p * w_p[..., None]
   p = p_c * w_c + p_d * w_d + p_p * w_p
   return bsdf, p

@@ -142,10 +142,11 @@ def _roughness(sd, scene=None):
 # ---------------------------------------------------------------------------
 
 
-def diffuse_sample(scene, sd, rnd, spectral, variations=(0,)):
+def diffuse_sample(scene, sd, rnd, spectral, variations=(0,), mask=None):
   """DiffuseBSDF::sample (bsdf_various.hxx:74-102). `variations` is the
   static set of diffuse_variation values present: 0 Lambert, 1 Heitz
-  rough-diffuse MS walk, 2 vMF analytic (d'Eon & Weidlich)."""
+  rough-diffuse MS walk, 2 vMF analytic (d'Eon & Weidlich). `mask` marks
+  the lanes whose result the caller consumes (walk start-mask)."""
   frame, ent = normal_frame(sd)
   local_w_o = em.sample_cosine_distribution(rnd[..., 0:2], 1.0)
   albedo = _scattering(scene, sd, spectral)
@@ -158,7 +159,11 @@ def diffuse_sample(scene, sd, rnd, spectral, variations=(0,)):
         [w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1))
     alpha = mf.clamp_alpha(_roughness(sd, scene))
     if 1 in variations:
-      wo1, e1 = ms.diffuse_sample_walk(w_i_l, alpha, albedo, rnd)
+      m_walk = sd.mat.diffuse_variation == 1
+      if mask is not None:
+        m_walk = m_walk & mask
+      wo1, e1 = ms.diffuse_sample_walk(w_i_l, alpha, albedo, rnd,
+                                       active0=m_walk)
       m1 = (sd.mat.diffuse_variation == 1)
       local_w_o = jnp.where(m1[..., None], wo1, local_w_o)
       weight = jnp.where(m1[..., None], e1, weight)
@@ -176,7 +181,7 @@ def diffuse_sample(scene, sd, rnd, spectral, variations=(0,)):
       is_reflection=jnp.ones(r, bool), medium=sd.medium)
 
 
-def diffuse_evaluate(scene, sd, w_o, spectral, variations=(0,)):
+def diffuse_evaluate(scene, sd, w_o, spectral, variations=(0,), mask=None):
   """DiffuseBSDF::evaluate via diffuse_layer (bsdf_various.hxx:36-72)."""
   frame, _ = normal_frame(sd)
   cos_o = em.to_local(frame, w_o)[..., 2]
@@ -191,9 +196,13 @@ def diffuse_evaluate(scene, sd, w_o, spectral, variations=(0,)):
     w_o_l = em.to_local(frame, w_o)
     alpha = mf.clamp_alpha(_roughness(sd, scene))
     if 1 in variations:
+      m_walk = sd.mat.diffuse_variation == 1
+      if mask is not None:
+        m_walk = m_walk & mask
       v1 = ms.diffuse_eval_walk(w_i_l, w_o_l, alpha, albedo,
                                 w_o[..., 0] + sd.tex[..., 0],
-                                w_o[..., 1] + sd.tex[..., 1])
+                                w_o[..., 1] + sd.tex[..., 1],
+                                active0=m_walk)
       m1 = (sd.mat.diffuse_variation == 1)
       bsdf = jnp.where(m1[..., None], v1, bsdf)
     if 2 in variations:
@@ -308,7 +317,7 @@ def boundary_sample(scene, sd, rnd, spectral):
 # ---------------------------------------------------------------------------
 
 
-def conductor_sample(scene, sd, rnd, spectral):
+def conductor_sample(scene, sd, rnd, spectral, mask=None):
   """MS-conductor sampling (bsdf_conductor.hxx:13-68): the Heitz walk for
   rough lanes, exact delta reflection for smooth ones."""
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
@@ -324,7 +333,9 @@ def conductor_sample(scene, sd, rnd, spectral):
   def fres(cos_t):
     return _fresnel_at(scene, sd, cos_t, spectral)
 
-  w_o_ms, energy = ms.conductor_sample_walk(fres, w_i_l, alpha_c, rnd)
+  walk_mask = ~delta if mask is None else mask & ~delta
+  w_o_ms, energy = ms.conductor_sample_walk(fres, w_i_l, alpha_c, rnd,
+                                            active0=walk_mask)
   refl = _reflectance(scene, sd, spectral)
 
   # delta path: mirror reflection with normal-incidence-frame Fresnel
@@ -348,7 +359,7 @@ def conductor_sample(scene, sd, rnd, spectral):
       is_reflection=jnp.ones(r, bool), medium=sd.medium)
 
 
-def conductor_evaluate(scene, sd, w_o, spectral):
+def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
   """Stochastic MS eval (eval_conductor) with the reference pdf."""
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
@@ -361,9 +372,14 @@ def conductor_evaluate(scene, sd, w_o, spectral):
   def fres(cos_t):
     return _fresnel_at(scene, sd, cos_t, spectral)
 
+  rough_max = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1])
+  walk_mask = ok & (rough_max > kDeltaAlpha)
+  if mask is not None:
+    walk_mask = walk_mask & mask
   value = ms.conductor_eval_walk(fres, w_i_l, w_o_l, alpha,
                                  w_o[..., 0] + sd.tex[..., 0],
-                                 w_o[..., 1] + sd.tex[..., 1])
+                                 w_o[..., 1] + sd.tex[..., 1],
+                                 active0=walk_mask)
   refl = _reflectance(scene, sd, spectral)
   bsdf = refl * value
   pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
@@ -411,7 +427,7 @@ def _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral):
   return jnp.abs(prob * dwh) + jnp.abs(w_o_l[..., 2])
 
 
-def dielectric_sample(scene, sd, rnd, spectral):
+def dielectric_sample(scene, sd, rnd, spectral, mask=None):
   frame, ent = normal_frame(sd)
   alpha = _roughness(sd)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
@@ -476,8 +492,9 @@ def dielectric_sample(scene, sd, rnd, spectral):
   def mono(v):
     return spx.monochromatic(v, spectral)
 
+  walk_mask = ~delta if mask is None else mask & ~delta
   wo_walk, e_walk, out_walk, escaped = ms.dielectric_sample_walk(
-      fres_walk, mono, eta, w_i_l, alpha_c, rnd)
+      fres_walk, mono, eta, w_i_l, alpha_c, rnd, active0=walk_mask)
   refl_walk = out_walk
   e_mono = mono(e_walk)
   tint = e_walk / jnp.maximum(e_mono, 1e-9)[..., None]
@@ -508,7 +525,7 @@ def dielectric_sample(scene, sd, rnd, spectral):
       is_reflection=pick_reflect, medium=medium)
 
 
-def dielectric_evaluate(scene, sd, w_o, spectral):
+def dielectric_evaluate(scene, sd, w_o, spectral, mask=None):
   """Rough dielectric eval (Walter 2007 conventions); delta -> zero."""
   frame, ent = normal_frame(sd)
   alpha = _roughness(sd)
@@ -551,9 +568,13 @@ def dielectric_evaluate(scene, sd, w_o, spectral):
     return spx.monochromatic(v, spectral)
 
   wo_outside = reflection
+  walk_mask = (cos_i > em.kEpsilon) & ~delta
+  if mask is not None:
+    walk_mask = walk_mask & mask
   value = ms.dielectric_eval_walk(
       fres_walk, mono, eta, w_i_l, w_o_l, wo_outside, alpha_c,
-      w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1])
+      w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
+      active0=walk_mask)
   func = 2.0 * value * jnp.where(reflection[..., None], refl_alb, scat_alb)
   bsdf = func * jnp.abs(cos_o)[..., None]  # eval.bsdf = func*|cos| (:193)
 
@@ -611,7 +632,7 @@ def thinfilm_sample(scene, sd, rnd, spectral):
 # ---------------------------------------------------------------------------
 
 
-def plastic_evaluate(scene, sd, w_o, spectral):
+def plastic_evaluate(scene, sd, w_o, spectral, mask=None):
   frame, ent = normal_frame(sd)
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
@@ -641,9 +662,11 @@ def plastic_evaluate(scene, sd, w_o, spectral):
 
   eta_io = _eta_ratio(scene, sd, spectral)
   eta = jnp.where(ent, eta_io, 1.0 / jnp.maximum(eta_io, 1e-6))
+  walk_mask = ok if mask is None else ok & mask
   walk = ms.dielectric_eval_walk(
       fres_walk, mono, eta, w_i_l, w_o_l, jnp.ones_like(ok),
-      alpha, w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1])
+      alpha, w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
+      active0=walk_mask)
   spec_bsdf = 2.0 * walk * specular
   diff_bsdf = diffuse * (1.0 - f) * (em.kInvPi * jnp.maximum(cos_o, 0.0))[..., None]
   bsdf = diff_bsdf + spec_bsdf
@@ -653,7 +676,7 @@ def plastic_evaluate(scene, sd, w_o, spectral):
   return jnp.where(ok[..., None], bsdf, 0.0), jnp.where(ok, pdf, 0.0)
 
 
-def plastic_sample(scene, sd, rnd, spectral):
+def plastic_sample(scene, sd, rnd, spectral, mask=None):
   frame, _ = normal_frame(sd)
   alpha = mf.clamp_alpha(_roughness(sd))
   w_i_l = em.to_local(frame, -sd.w_i)
@@ -669,7 +692,7 @@ def plastic_sample(scene, sd, rnd, spectral):
   w_o_l = jnp.where(pick_spec[..., None], w_spec_l, w_diff_l)
   w_o = em.from_local(frame, w_o_l)
 
-  bsdf, pdf = plastic_evaluate(scene, sd, w_o, spectral)
+  bsdf, pdf = plastic_evaluate(scene, sd, w_o, spectral, mask=mask)
   weight = jnp.where(pdf[..., None] > 0, bsdf / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
   r = sd.w_i.shape[0]
   return BSDFSampleR(

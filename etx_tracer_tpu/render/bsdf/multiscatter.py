@@ -132,11 +132,14 @@ def _seed_from_floats(a, b):
   return rng.seed(ba, bb)
 
 
-def conductor_sample_walk(fresnel_fn, w_i, alpha, rnd):
+def conductor_sample_walk(fresnel_fn, w_i, alpha, rnd, active0=None):
   """MS conductor sampling walk (ConductorBSDF::sample, bsdf_conductor.hxx:
   36-55). w_i local (z>0, away from surface). Returns (w_o, energy(R,C)).
 
-  fresnel_fn(cos_theta) -> (R,C).
+  fresnel_fn(cos_theta) -> (R,C). `active0` restricts the walk to the lanes
+  whose dispatch actually consumes it (rough-conductor lanes): the while_loop
+  exits as soon as those lanes finish — zero iterations when none exist at
+  this bounce — instead of walking the whole wavefront.
   """
   r = w_i.shape[0]
   state = _seed_from_floats(rnd[..., 3] + 0.123, rnd[..., 4] + 0.771)
@@ -180,19 +183,22 @@ def conductor_sample_walk(fresnel_fn, w_i, alpha, rnd):
     return state, w, lam, h, energy, order, active, escaped
 
   c = fresnel_fn(jnp.ones(r)).shape[-1]
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, w0, lam0, jnp.ones(r), jnp.ones((r, c)),
-           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros(r, bool))
+           jnp.zeros(r, jnp.int32), a0, jnp.zeros(r, bool))
   state, w, lam, h, energy, order, active, escaped = jax.lax.while_loop(cond, body, carry)
   # escaped lanes carry w as the outgoing direction
   return w, jnp.where(escaped[..., None], energy, 0.0)
 
 
-def conductor_eval_walk(fresnel_fn, w_i, w_o, alpha, seed_a, seed_b):
+def conductor_eval_walk(fresnel_fn, w_i, w_o, alpha, seed_a, seed_b,
+                        active0=None):
   """Stochastic MS conductor eval (eval_conductor, bsdf_external.hxx:280-353).
 
   Returns bsdf-with-cosine folded: 0.5*singleScattering + multipleScattering
   (the reference's value is already multiplied by nothing further in
   ConductorBSDF::evaluate except the reflectance texture).
+  `active0` restricts the walk to consuming lanes (see conductor_sample_walk).
   """
   r = w_i.shape[0]
   state = _seed_from_floats(seed_a, seed_b)
@@ -256,8 +262,9 @@ def conductor_eval_walk(fresnel_fn, w_i, w_o, alpha, seed_a, seed_b):
     active = active2 & ~bad
     return state, w, lam, h, energy, order_new, active, multiple, wi_mis
 
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, -w_i, lam_i, jnp.ones(r), jnp.ones((r, c)),
-           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros((r, c)),
+           jnp.zeros(r, jnp.int32), a0, jnp.zeros((r, c)),
            jnp.zeros(r))
   state, w, lam, h, energy, order, active, multiple, wi_mis = \
       jax.lax.while_loop(cond, body, carry)
@@ -281,10 +288,11 @@ def _sample_phase_diffuse(wm, rnd):
   return x[..., None] * u + y[..., None] * v + z[..., None] * wm
 
 
-def diffuse_sample_walk(w_i, alpha, albedo, rnd):
+def diffuse_sample_walk(w_i, alpha, albedo, rnd, active0=None):
   """Rough-diffuse sampling walk (sample_diffuse, bsdf_external.hxx:660-692).
 
   w_i local (z>0, away from surface); albedo (R,C). Returns (w_o, energy).
+  `active0` restricts the walk to consuming lanes (see conductor_sample_walk).
   """
   r = w_i.shape[0]
   c = albedo.shape[-1]
@@ -326,16 +334,18 @@ def diffuse_sample_walk(w_i, alpha, albedo, rnd):
     active = active & ~dead
     return state, w, lam, h, energy, order, active, escaped
 
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, w0, lam0, jnp.ones(r), jnp.ones((r, c)),
-           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros(r, bool))
+           jnp.zeros(r, jnp.int32), a0, jnp.zeros(r, bool))
   state, w, lam, h, energy, order, active, escaped = jax.lax.while_loop(cond, body, carry)
   return w, jnp.where(escaped[..., None], energy, 0.0)
 
 
-def diffuse_eval_walk(w_i, w_o, alpha, albedo, seed_a, seed_b):
+def diffuse_eval_walk(w_i, w_o, alpha, albedo, seed_a, seed_b, active0=None):
   """Stochastic rough-diffuse eval (eval_diffuse, bsdf_external.hxx:580-628).
 
   Returns the bsdf with cosine folded in (the reference's eval.bsdf).
+  `active0` restricts the walk to consuming lanes (see conductor_sample_walk).
   """
   r = w_i.shape[0]
   c = albedo.shape[-1]
@@ -383,8 +393,9 @@ def diffuse_eval_walk(w_i, w_o, alpha, albedo, seed_a, seed_b):
     active = active2 & ~bad
     return state, w, lam, h, energy, order, active, res
 
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, -w_i, _lambda(-w_i, alpha), jnp.ones(r), jnp.ones((r, c)),
-           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros((r, c)))
+           jnp.zeros(r, jnp.int32), a0, jnp.zeros((r, c)))
   state, w, lam, h, energy, order, active, res = jax.lax.while_loop(cond, body, carry)
   return res
 
@@ -594,13 +605,15 @@ def _beta_fn(m, n):
   return _gamma_fn(m) * _gamma_fn(n) / jnp.maximum(_gamma_fn(m + n), 1e-20)
 
 
-def dielectric_sample_walk(fresnel_fn, mono_fn, eta, w_i, alpha, rnd):
+def dielectric_sample_walk(fresnel_fn, mono_fn, eta, w_i, alpha, rnd,
+                           active0=None):
   """MS dielectric sampling walk. w_i local with z>0 (direction_scale folded
   by the caller); fresnel_fn(cos, outside_mask)->(R,C); mono_fn collapses a
   response to (R,); eta (R,) = int/ext for the walk's start orientation.
 
   Returns (w_o_local, weight (R,C), outside (R,) bool, escaped (R,) bool);
   w_o is in the walk frame — the caller re-applies direction_scale.
+  `active0` restricts the walk to consuming lanes (see conductor_sample_walk).
   """
   r = w_i.shape[0]
   state = _seed_from_floats(rnd[..., 3] + 0.531, rnd[..., 4] + 0.207)
@@ -657,8 +670,9 @@ def dielectric_sample_walk(fresnel_fn, mono_fn, eta, w_i, alpha, rnd):
     active = active & ~dead
     return state, w, lam, h, energy, outside, order, active, escaped
 
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, w0, lam0, jnp.ones(r), jnp.ones((r, c)), jnp.ones(r, bool),
-           jnp.zeros(r, jnp.int32), jnp.ones(r, bool), jnp.zeros(r, bool))
+           jnp.zeros(r, jnp.int32), a0, jnp.zeros(r, bool))
   state, w, lam, h, energy, outside, order, active, escaped = \
       jax.lax.while_loop(cond, body, carry)
   w_o = jnp.where(outside[..., None], w, -w)
@@ -706,12 +720,13 @@ def _mis_weight_dielectric(wi, wo, reflection, eta, alpha):
 
 
 def dielectric_eval_walk(fresnel_fn, mono_fn, eta, w_i, w_o, wo_outside,
-                         alpha, seed_a, seed_b):
+                         alpha, seed_a, seed_b, active0=None):
   """Stochastic MS dielectric eval (eval_dielectric, bsdf_external.hxx:466-556).
 
   w_i local z>0; w_o local; wo_outside (R,) bool: True when w_o leaves on the
   incident side (reflection configs). Returns 0.5*single + multiple, the
   reference's estimator (:555).
+  `active0` restricts the walk to consuming lanes (see conductor_sample_walk).
   """
   r = w_i.shape[0]
   state = _seed_from_floats(seed_a, seed_b)
@@ -800,8 +815,9 @@ def dielectric_eval_walk(fresnel_fn, mono_fn, eta, w_i, w_o, wo_outside,
     active = active2 & ~bad
     return state, w, lam, h, energy, outside, order_new, active, single, multiple, wi_mis
 
+  a0 = jnp.ones(r, bool) if active0 is None else active0
   carry = (state, -w_i, _lambda(-w_i, alpha), jnp.ones(r), jnp.ones((r, c)),
-           jnp.ones(r, bool), jnp.zeros(r, jnp.int32), jnp.ones(r, bool),
+           jnp.ones(r, bool), jnp.zeros(r, jnp.int32), a0,
            single, multiple, jnp.zeros(r))
   out = jax.lax.while_loop(cond, body, carry)
   single, multiple = out[8], out[9]

@@ -3,14 +3,29 @@
 Multi-chip sharding logic is validated on a virtual CPU mesh
 (xla_force_host_platform_device_count), per the project's test strategy —
 real-TPU runs happen in bench.py and the driver's dryrun.
+
+NOTE: env vars are NOT enough here. The axon sitecustomize (PYTHONPATH=
+/root/.axon_site) imports jax at interpreter startup — before conftest —
+and register() forces jax_platforms="axon,cpu", so JAX_PLATFORMS=cpu in
+the environment is silently ignored and every jit would compile through
+the TPU tunnel (~40s per compile). jax.config.update after import wins as
+long as backends are not yet initialized, which is the case at conftest
+import time.
 """
 
 import os
 
-# force CPU even when the shell pre-sets JAX_PLATFORMS (e.g. axon TPU):
-# tests validate semantics; TPU runs happen in bench.py / the driver.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA_FLAGS is read at backend initialization (later than import), so the
+# env route still works for the virtual device count.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
   os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses that escape axon
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; axon sitecustomize re-forced the TPU backend")

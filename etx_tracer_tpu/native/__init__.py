@@ -17,7 +17,7 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libetx_native.so")
-_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp"]
+_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "blosc_decoder.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -26,7 +26,7 @@ _build_failed = False
 
 def _build() -> bool:
   cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-         "-o", _LIB_PATH] + [os.path.join(_DIR, s) for s in _SOURCES]
+         "-o", _LIB_PATH] + [os.path.join(_DIR, s) for s in _SOURCES] + ["-lz"]
   try:
     subprocess.run(cmd, check=True, capture_output=True, timeout=240)
     return True
@@ -59,8 +59,34 @@ def load():
     lib.etx_obj_data.restype = ctypes.c_int32
     lib.etx_obj_material_name.restype = ctypes.c_int32
     lib.etx_obj_mtllib.restype = ctypes.c_int32
+    lib.etx_blosc_decompress.restype = ctypes.c_int64
     _lib = lib
     return _lib
+
+
+def blosc_decompress(data: bytes, nbytes: int) -> bytes | None:
+  """Decompress one blosc1 frame (LZ4/zlib inner codecs) to `nbytes` bytes.
+
+  Returns None when the native library is unavailable; raises ValueError on
+  malformed/unsupported frames (so callers can distinguish 'no toolchain'
+  from 'bad file').
+  """
+  lib = load()
+  if lib is None:
+    return None
+  src = np.frombuffer(data, np.uint8)
+  dst = np.zeros(max(nbytes, 1), np.uint8)
+  n = lib.etx_blosc_decompress(
+      src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(src.size),
+      dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(dst.size))
+  if n < 0:
+    codes = {-1: "malformed blosc frame", -2: "output too small",
+             -3: "unsupported inner codec (only LZ4/zlib)",
+             -4: "bitshuffle filter unsupported", -5: "inner codec error"}
+    raise ValueError(codes.get(int(n), f"blosc decode error {n}"))
+  return dst[:n].tobytes()
 
 
 def _ptr_f32(a):

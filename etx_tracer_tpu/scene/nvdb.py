@@ -9,8 +9,9 @@ ABI structs: GridData 672B / TreeData 64B / RootData(+32B tiles) /
 InternalData 5^3,4^3 / LeafData 8^3) and return the same dense region as a
 (dz, dy, dx) float32 array (the project's dense-grid convention).
 
-Supported: uncompressed and ZIP-compressed segments, float grids
-(GridType::Float). BLOSC needs the optional `blosc` package.
+Supported: uncompressed, ZIP, and BLOSC-compressed segments (the native
+C++ blosc1 decoder covers the LZ4/zlib inner codecs NanoVDB writes,
+IO.h:279-295), float grids (GridType::Float).
 """
 
 from __future__ import annotations
@@ -61,16 +62,29 @@ def _decompress_segment(f, codec: int, grid_size: int) -> bytes:
   if codec == 1:  # ZIP: u64 compressed byte count + one zlib stream
     (csize,) = struct.unpack("<Q", f.read(8))
     return zlib.decompress(f.read(csize), bufsize=grid_size)
-  if codec == 2:  # BLOSC: 1GB chunks, each u64 size + blosc frame
-    try:
-      import blosc  # type: ignore
-    except ImportError as e:
-      raise NVDBError(".nvdb uses BLOSC compression; `blosc` not available") from e
-    out = b""
-    while len(out) < grid_size:
+  if codec == 2:  # BLOSC: 1GB chunks, each u64 size + blosc1 frame
+    from etx_tracer_tpu import native
+    parts = []
+    done = 0
+    while done < grid_size:
       (csize,) = struct.unpack("<Q", f.read(8))
-      out += blosc.decompress(f.read(csize))
-    return out
+      frame = f.read(csize)
+      chunk = min(grid_size - done, 1 << 30)
+      try:
+        out = native.blosc_decompress(frame, chunk)
+      except ValueError as e:
+        raise NVDBError(f"BLOSC .nvdb segment: {e}") from e
+      if out is None:  # no native toolchain: optional blosc package
+        try:
+          import blosc  # type: ignore
+        except ImportError as e:
+          raise NVDBError(
+              ".nvdb uses BLOSC and neither the native decoder nor the "
+              "`blosc` package is available") from e
+        out = blosc.decompress(frame)
+      parts.append(out)
+      done += len(out)
+    return b"".join(parts)
   raise NVDBError(f"unknown .nvdb codec {codec}")
 
 

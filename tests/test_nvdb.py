@@ -122,8 +122,90 @@ def _write_nvdb(path, root_bbox, root_tiles, nodes, codec=0):
       z = zlib.compress(buf)
       f.write(struct.pack("<Q", len(z)))
       f.write(z)
+    elif codec == 2:  # BLOSC: u64 frame size + blosc1 frame (IO.h:279-295)
+      frame = _blosc_frame(buf)
+      f.write(struct.pack("<Q", len(frame)))
+      f.write(frame)
     else:
       f.write(buf)
+
+
+# --- minimal blosc1 writer (NanoVDB settings: LZ4, byte shuffle, ts=4) ---
+
+
+def _lz4_block(data: bytes) -> bytes:
+  """Legal LZ4 block: RLE match when possible, else literal-only."""
+  n = len(data)
+  if n >= 16 and data == data[:1] * n:
+    # 1 literal + overlapping match of n-6, then a 5-literal tail
+    mlen = n - 6
+    out = bytearray()
+    ml = mlen - 4
+    out.append((1 << 4) | (15 if ml >= 15 else ml))
+    out += data[:1]
+    out += struct.pack("<H", 1)
+    if ml >= 15:
+      rem = ml - 15
+      while rem >= 255:
+        out.append(255)
+        rem -= 255
+      out.append(rem)
+    out.append(5 << 4)  # final literal-only sequence
+    out += data[1 + mlen:]
+    return bytes(out)
+  out = bytearray()
+  out.append((15 if n >= 15 else n) << 4)
+  if n >= 15:
+    rem = n - 15
+    while rem >= 255:
+      out.append(255)
+      rem -= 255
+    out.append(rem)
+  out += data
+  return bytes(out)
+
+
+def _shuffle_bytes(data: bytes, typesize: int) -> bytes:
+  n = len(data) - len(data) % typesize
+  planes = np.frombuffer(data[:n], np.uint8).reshape(-1, typesize)
+  return planes.T.tobytes() + data[n:]
+
+
+def _blosc_frame(data: bytes, typesize=4, blocksize=1 << 18, codec=1,
+                 shuffle=True, memcpy=False) -> bytes:
+  n = len(data)
+  flags = (codec << 5) | (0x2 if memcpy else 0)
+  if shuffle and typesize > 1 and not memcpy:
+    flags |= 0x1
+  if memcpy:
+    head = struct.pack("<BBBBiii", 2, 1, flags, typesize, n, blocksize, 16 + n)
+    return head + data
+  nblocks = (n + blocksize - 1) // blocksize
+  leftover = n % blocksize
+  chunks = []
+  starts = []
+  pos = 16 + 4 * nblocks
+  for j in range(nblocks):
+    leftoverblock = (j == nblocks - 1) and leftover > 0
+    bsize = leftover if leftoverblock else blocksize
+    block = data[j * blocksize:j * blocksize + bsize]
+    if flags & 0x1:
+      block = _shuffle_bytes(block, typesize)
+    nsplits = typesize if (typesize <= 16 and blocksize // typesize >= 128
+                           and not leftoverblock) else 1
+    neblock = bsize // nsplits
+    starts.append(pos)
+    enc = b""
+    for s in range(nsplits):
+      part = block[s * neblock:(s + 1) * neblock]
+      comp = zlib.compress(part) if codec == 3 else _lz4_block(part)
+      if len(comp) >= neblock:  # incompressible part: stored raw
+        comp = part
+      enc += struct.pack("<i", len(comp)) + comp
+    chunks.append(enc)
+    pos += len(enc)
+  head = struct.pack("<BBBBiii", 2, 1, flags, typesize, n, blocksize, pos)
+  return head + b"".join(struct.pack("<i", s) for s in starts) + b"".join(chunks)
 
 
 def _single_leaf_file(path, codec=0):
@@ -196,6 +278,52 @@ def test_degenerate_cleared(tmp_path):
   p = str(tmp_path / "d.nvdb")
   _write_nvdb(p, (0, 0, 0, 8, 8, 8), tiles, [upper, lower, leaf])
   assert nvdb.read_nvdb_density(p) is None
+
+
+def test_blosc_codec(tmp_path):
+  """BLOSC .nvdb segment (NanoVDB's LZ4 + shuffle + typesize-4 settings)."""
+  p = str(tmp_path / "b.nvdb")
+  ref = _single_leaf_file(p, codec=2)
+  got = nvdb.read_nvdb_density(p)
+  np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_blosc_decoder_unit():
+  """Direct native-decoder checks: memcpy, RLE-match LZ4, shuffle, splits."""
+  from etx_tracer_tpu import native
+  if native.load() is None:
+    pytest.skip("no native toolchain")
+  rs = np.random.RandomState(11)
+  # incompressible random payload, shuffled + split (raw parts)
+  data = rs.bytes(4096)
+  out = native.blosc_decompress(_blosc_frame(data, blocksize=1024), len(data))
+  assert out == data
+  # constant payload: every shuffled split part is an RLE LZ4 block, which
+  # exercises the match/extended-length/overlap-copy decode path
+  const = b"\x07" * 4096
+  out = native.blosc_decompress(_blosc_frame(const, blocksize=1024), len(const))
+  assert out == const
+  # multi-block with a leftover block (single split, shuffled)
+  runs = b"".join(bytes([b]) * 997 for b in b"\x01\x02\x03\x00\xfe")
+  out = native.blosc_decompress(_blosc_frame(runs, blocksize=2048), len(runs))
+  assert out == runs
+  # memcpy mode
+  out = native.blosc_decompress(_blosc_frame(data, memcpy=True), len(data))
+  assert out == data
+  # no shuffle, single split
+  out = native.blosc_decompress(
+      _blosc_frame(data, typesize=1, shuffle=False), len(data))
+  assert out == data
+  # zlib inner codec (compcode 3)
+  out = native.blosc_decompress(
+      _blosc_frame(const, blocksize=1024, codec=3), len(const))
+  assert out == const
+  # unsupported inner codec reports clearly (const payload so parts are
+  # actually compressed and the codec is consulted)
+  bad = bytearray(_blosc_frame(const, blocksize=1024))
+  bad[2] = (bad[2] & 0x1F) | (4 << 5)  # zstd
+  with pytest.raises(ValueError):
+    native.blosc_decompress(bytes(bad), len(const))
 
 
 def test_loader_dispatch(tmp_path):

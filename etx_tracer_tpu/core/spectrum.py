@@ -328,6 +328,23 @@ class SpectralDistribution:
 # ---------------------------------------------------------------------------
 
 
+def bank_at_wl(bank_values: jnp.ndarray, wl) -> jnp.ndarray:
+  """Every SPD of the (S,441) bank evaluated at each lane's wavelength.
+
+  Returns (R, S). Built as lerp-weight one-hot rows x bank — one MXU matmul
+  per wavefront step instead of per-lane dynamic gathers per query (TPU
+  gathers are the spectral hot spot; see render/spectral.query_spd).
+  """
+  import jax
+  idx_f = jnp.clip(wl - kShortestWavelength, 0.0, kWavelengthCount - 1.000001)
+  i0 = idx_f.astype(jnp.int32)
+  frac = (idx_f - i0.astype(jnp.float32))[:, None]
+  cols = jnp.arange(kWavelengthCount, dtype=jnp.int32)[None, :]
+  w = (jnp.where(cols == i0[:, None], 1.0 - frac, 0.0)
+       + jnp.where(cols == i0[:, None] + 1, frac, 0.0))
+  return jnp.matmul(w, bank_values.T, precision=jax.lax.Precision.HIGHEST)
+
+
 def query_bank(bank_values: jnp.ndarray, index, wl):
   """Query SPD `index` of a dense bank (S, 441) at wavelength(s) wl.
 

@@ -262,6 +262,14 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
   classes = config.material_classes
   r = state.ray_o.shape[0]
 
+  if spectral:
+    # one MXU matmul evaluates every SPD at each lane's wavelength; all
+    # query_spd calls this step then reduce over S instead of gathering
+    # from the (S,441) bank per lane (the spectral-mode hot spot)
+    from etx_tracer_tpu.core import spectrum as sp_mod
+    scene = scene._replace(
+        spec_at_wl=(state.wl, sp_mod.bank_at_wl(scene.spec_values, state.wl)))
+
   # dead lanes trace a degenerate ray
   t_max = jnp.where(state.alive, state.t_max, 0.0)
   if deferred_nee:

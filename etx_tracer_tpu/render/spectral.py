@@ -29,7 +29,16 @@ def query_spd(scene, spec_index, wl, spectral: bool) -> jnp.ndarray:
   """Query SPD bank -> (R, C). Negative index yields zero."""
   safe = jnp.maximum(spec_index, 0)
   if spectral:
-    v = sp.query_bank(scene.spec_values, safe, wl)
+    cache = getattr(scene, "spec_at_wl", None)
+    # the cache applies only to queries at the step's own wavelength array
+    # (object identity — derived wavelengths fall back to the gather path)
+    if cache is not None and cache[0] is wl and safe.ndim == 1:
+      table = cache[1]  # (R, S)
+      ids = jnp.arange(table.shape[1], dtype=safe.dtype)[None, :]
+      v = jnp.sum(jnp.where(ids == safe[:, None], table, 0.0),
+                  axis=-1, keepdims=True)
+    else:
+      v = sp.query_bank(scene.spec_values, safe, wl)
   elif safe.ndim == 1:
     from etx_tracer_tpu.ops import gather as gops
     v = gops.take_rows(scene.spec_rgb, safe)

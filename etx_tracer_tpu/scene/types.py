@@ -10,7 +10,7 @@ mode, path-length bounds, film size) that select code paths at trace time.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -200,6 +200,11 @@ class DeviceScene(NamedTuple):
   bsphere_center: jnp.ndarray  # (3,)
   bsphere_radius: jnp.ndarray  # ()
   radiance_clamp: jnp.ndarray  # ()
+  # per-step spectral cache, set ONLY inside a traced step: (wl_key, (R,S)
+  # table of every SPD evaluated at each lane's wavelength). query_spd uses
+  # it when the queried wl IS the key object (one MXU matmul replaces all
+  # per-lane bank gathers for the step). None in stored/loaded scenes.
+  spec_at_wl: Optional[tuple] = None
 
 
 @dataclasses.dataclass(frozen=True)

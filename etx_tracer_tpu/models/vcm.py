@@ -191,9 +191,18 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
 
   max_depth = min(config.max_path_length, v_slots)
 
+  base_scene = scene
+
   def body(slot, carry):
     state, verts, splat_uv, splat_val = carry
     r = n_paths
+    scene = base_scene
+    if spectral:
+      # per-step SPD table (see path_tracing.pt_step): one MXU matmul
+      # replaces the per-lane bank gathers for every query at state.wl
+      from etx_tracer_tpu.core import spectrum as sp_mod
+      scene = scene._replace(spec_at_wl=(
+          state.wl, sp_mod.bank_at_wl(scene.spec_values, state.wl)))
     t_max = jnp.where(state.alive, em.kMaxFloat, 0.0)
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)
@@ -626,8 +635,15 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   merged_total = jnp.zeros((r, 3))
   max_depth = min(config.max_path_length, options.max_stored_vertices + 2)
 
+  base_scene = scene
+
   def body(step, carry):
     state, merged_total = carry
+    scene = base_scene
+    if spectral:
+      from etx_tracer_tpu.core import spectrum as sp_mod
+      scene = scene._replace(spec_at_wl=(
+          state.wl, sp_mod.bank_at_wl(scene.spec_values, state.wl)))
     t_max = jnp.where(state.alive, em.kMaxFloat, 0.0)
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)

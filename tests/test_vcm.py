@@ -86,6 +86,22 @@ class TestVCM:
     # invalid vertices sort last
     assert valid[: int(valid.sum())].all()
 
+  def test_spectral_vcm_matches_spectral_pt(self):
+    """Spectral-mode cross-integrator agreement: exercises the per-step
+    SPD-table cache (spec_at_wl) in both PT and the VCM passes."""
+    scene, config = cornell.build_cornell_box(
+        film_size=(16, 16), diffuse_only=True, max_path_length=4,
+        spectral=True).build()
+    fs_pt = path_tracing.render(scene, config, iterations=48)
+    pt_img = np.asarray(film_mod.result_image(fs_pt))
+    opts = dataclasses.replace(vcm.VCMOptions(), max_stored_vertices=3,
+                               initial_radius=0.08)
+    fs = vcm.render(scene, config, opts, iterations=16)
+    v = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(v).all() and np.isfinite(pt_img).all()
+    ratio = v.mean() / pt_img.mean()
+    assert 0.8 < ratio < 1.2
+
   def test_radius_schedule(self):
     # r_i = r0 / (1 + i/decay) (vcm_cpu.cxx:100-113)
     r0 = 5.0 * 2.0 / 640.0

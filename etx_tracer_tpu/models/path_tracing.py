@@ -951,8 +951,19 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
   s_slots = max(1, (npix + pool_size - 1) // pool_size)
   while npix % s_slots:
     s_slots += 1
-  p = npix // s_slots
-  per_lane = s_slots * n
+  p_base = npix // s_slots
+  # iteration split: films smaller than the pool widen it with k lanes per
+  # pixel, each owning a disjoint n//k slice of the iterations (small pools
+  # are dispatch-overhead dominated: cornell 256^2 ran 3x slower per ray
+  # than 512^2 before this)
+  k = 1
+  if s_slots == 1:
+    k = max(1, min(n, pool_size // npix))
+    while n % k:
+      k -= 1
+  p = p_base * k
+  n_lane = n // k
+  per_lane = s_slots * n_lane
 
   # deferred NEE: the pending shadow ray rides the next step's trace launch;
   # its contribution goes into the film under the slot/parity it was
@@ -971,9 +982,9 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
     width = lanes.shape[0]
 
     def ids_for(counter):
-      slot = counter // n
-      it = first_iteration + (counter % n)
-      return it * npix + slot * p + lanes
+      slot = counter // n_lane
+      it = first_iteration + (lanes // p_base) * n_lane + (counter % n_lane)
+      return it * npix + slot * p_base + (lanes % p_base)
 
     def nee_row(rgb, valid, meta):
       vmask = valid[..., None].astype(jnp.float32)
@@ -994,7 +1005,7 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
       alb = spx.to_film_rgb(new_state.view_albedo, new_state.wl, config.spectral)
       row = jnp.concatenate([color * dmask, new_state.view_normal * dmask,
                              alb * dmask, color * even, dmask, even], axis=-1)
-      slot = jnp.clip(counter // n, 0, s_slots - 1)
+      slot = jnp.clip(counter // n_lane, 0, s_slots - 1)
       onehot = (slot[:, None] == slot_ids).astype(jnp.float32)
       film_rows = film_rows + row[:, None, :] * onehot[:, :, None]
 
@@ -1011,7 +1022,8 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
 
       new_counter = counter + died.astype(jnp.int32)
       has_more = new_counter < per_lane
-      fresh = make_lane_payload(scene, config, ids_for(new_counter),
+      fresh = make_lane_payload(scene, config,
+                                ids_for(jnp.minimum(new_counter, per_lane - 1)),
                                 jnp.int32(2 ** 30))
       regen = died & has_more
 
@@ -1075,9 +1087,10 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
     widths.append(widths[-1] // 4)
 
   lane0 = jnp.arange(p, dtype=jnp.int32)
+  init_it = first_iteration + (lane0 // p_base) * n_lane
   state = make_lane_payload(
       scene, config,
-      first_iteration * npix + lane0, jnp.int32(2 ** 30))
+      init_it * npix + (lane0 % p_base), jnp.int32(2 ** 30))
   counter = jnp.zeros(p, jnp.int32)
   lanes = lane0
   pend_meta = jnp.zeros((p, 2), jnp.float32)
@@ -1094,10 +1107,15 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
 
     # fold this phase's film rows into the global table
     if width == p:
-      table = table + jnp.transpose(film_rows, (1, 0, 2)).reshape(
-          npix, _SUMS_WIDTH)
+      # (width, s_slots, S) -> (s_slots, k, p_base, S): width is lane-major
+      # with lane = q*p_base + x, so the k iteration-split copies of each
+      # pixel sum out on axis 1; slot-major matches the table layout
+      folded = jnp.transpose(film_rows, (1, 0, 2)).reshape(
+          s_slots, k, p_base, _SUMS_WIDTH).sum(axis=1)
+      table = table + folded.reshape(npix, _SUMS_WIDTH)
     else:
-      pix = (jnp.arange(s_slots)[None, :] * p + lanes[:, None]).reshape(-1)
+      pix = (jnp.arange(s_slots)[None, :] * p_base
+             + (lanes % p_base)[:, None]).reshape(-1)
       table = table.at[pix].add(
           film_rows.reshape(width * s_slots, _SUMS_WIDTH))
 

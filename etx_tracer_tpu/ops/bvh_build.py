@@ -16,6 +16,26 @@ _LEAF_SIZE = 4
 _MAX_DEPTH = 60
 
 
+def compute_skip(node_left: np.ndarray, node_count: np.ndarray) -> np.ndarray:
+  """Pre-order skip offsets: skip[i] = first node after subtree(i).
+
+  With left child = i+1 the node order is depth-first pre-order, so a
+  stream traversal advances i+1 on box hit and skip[i] on miss (or after a
+  leaf) — no per-ray stack (the Pallas shared-traversal kernel's layout).
+  """
+  n = len(node_left)
+  skip = np.zeros(n, np.int32)
+  stack = [(0, n)]
+  while stack:
+    i, sk = stack.pop()
+    skip[i] = sk
+    if node_count[i] == 0 and n > 1:  # inner node
+      right = int(node_left[i])
+      stack.append((i + 1, right))  # left subtree ends where right begins
+      stack.append((right, sk))
+  return skip
+
+
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
   """Build from triangle vertices (v0, v0+e1, v0+e2). Returns dict of arrays.
 
@@ -26,6 +46,8 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     from etx_tracer_tpu import native
     result = native.build_bvh_native(v0, e1, e2)
     if result is not None:
+      result["node_skip"] = compute_skip(result["node_left"],
+                                         result["node_count"])
       return result
   except Exception:
     pass
@@ -137,10 +159,12 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
   finally:
     sys.setrecursionlimit(old_limit)
 
-  return {
+  result = {
       "node_min": np.stack(node_min).astype(np.float32),
       "node_max": np.stack(node_max).astype(np.float32),
       "node_left": np.asarray(node_left, np.int32),
       "node_count": np.asarray(node_count, np.int32),
       "prim_index": np.asarray(out_prims if out_prims else [0], np.int32),
   }
+  result["node_skip"] = compute_skip(result["node_left"], result["node_count"])
+  return result

@@ -172,6 +172,350 @@ def intersect_pallas(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max, tri_mask=None) 
   return Hit(t, tri, u, v)
 
 
+# ---------------------------------------------------------------------------
+# BVH DFS-stream traversal kernels.
+#
+# No per-ray stacks (per-lane dynamic control flow doesn't map to the VPU).
+# Instead the whole ray tile walks ONE pre-order node stream with skip
+# offsets (bvh_build.compute_skip): box hit -> descend (i+1), miss -> skip
+# subtree. The skip decision is shared (any ray in the tile hits), so tiles
+# visit the union of their rays' subtrees — the running best-t shrinks the
+# per-ray intervals and prunes progressively. Leaf primitive rows are
+# contiguous (prim_index pre-reordered into the triangle table), each row
+# carrying its ORIGINAL triangle id for the hit record.
+# ---------------------------------------------------------------------------
+
+
+def _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax, best_t):
+  """Moller-Trumbore one row vs the ray tile; returns (ok, t, u, v, id)."""
+  v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
+  e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
+  e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
+  m = row[0, 9] > 0.5
+  tid = row[0, 10]
+
+  px = dy * e2z - dz * e2y
+  py = dz * e2x - dx * e2z
+  pz = dx * e2y - dy * e2x
+  det = px * e1x + py * e1y + pz * e1z
+  inv_det = jnp.where(jnp.abs(det) > _MT_EPS,
+                      1.0 / jnp.where(det == 0.0, 1.0, det), 0.0)
+  tx = ox - v0x
+  ty = oy - v0y
+  tz = oz - v0z
+  u = (tx * px + ty * py + tz * pz) * inv_det
+  qx = ty * e1z - tz * e1y
+  qy = tz * e1x - tx * e1z
+  qz = tx * e1y - ty * e1x
+  v = (dx * qx + dy * qy + dz * qz) * inv_det
+  t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+  ok = ((jnp.abs(det) > _MT_EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tmin) & (t <= tmax) & (t < best_t) & m)
+  return ok, t, u, v, tid
+
+
+def _kernel_bvh(node_ref, meta_ref, tri_ref,
+                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                tmin_ref, tmax_ref,
+                t_out, tri_out, u_out, v_out):
+  import jax.experimental.pallas as pl
+
+  ox = ox_ref[...]
+  oy = oy_ref[...]
+  oz = oz_ref[...]
+  dx = dx_ref[...]
+  dy = dy_ref[...]
+  dz = dz_ref[...]
+  tmin = tmin_ref[...]
+  tmax = tmax_ref[...]
+
+  def safe_inv(x):
+    return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                           jnp.where(x < 0, -1e-20, 1e-20), x)
+
+  ivx = safe_inv(dx)
+  ivy = safe_inv(dy)
+  ivz = safe_inv(dz)
+  # axis-parallel rays: the clamped inverse mis-scores slabs the origin
+  # touches (o == bound, d == 0 gives t = 0 instead of an infinite slab),
+  # so parallel axes get explicit inside/outside intervals
+  parx = jnp.abs(dx) < 1e-12
+  pary = jnp.abs(dy) < 1e-12
+  parz = jnp.abs(dz) < 1e-12
+
+  def slab(par, o1, iv, mn, mx):
+    t0 = (mn - o1) * iv
+    t1 = (mx - o1) * iv
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    inside = (o1 >= mn) & (o1 <= mx)
+    big = jnp.float32(3e38)
+    lo = jnp.where(par, jnp.where(inside, -big, big), lo)
+    hi = jnp.where(par, jnp.where(inside, big, -big), hi)
+    return lo, hi
+
+  num_nodes = node_ref.shape[0]
+
+  def cond(c):
+    return c[0] < num_nodes
+
+  def body(c):
+    i, bt, btri, bu, bv = c
+    nb = node_ref[pl.ds(i, 1), :]
+    meta = meta_ref[pl.ds(i, 1), :]
+    skip, first, count = meta[0, 0], meta[0, 1], meta[0, 2]
+
+    lox, hix = slab(parx, ox, ivx, nb[0, 0], nb[0, 3])
+    loy, hiy = slab(pary, oy, ivy, nb[0, 1], nb[0, 4])
+    loz, hiz = slab(parz, oz, ivz, nb[0, 2], nb[0, 5])
+    near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+    far = jnp.minimum(jnp.minimum(hix, hiy),
+                      jnp.minimum(hiz, jnp.minimum(tmax, bt)))
+    # conservative traversal: tolerate a few ulps of slab cancellation
+    anyhit = jnp.any(near <= far * 1.0000002 + 1e-7)
+    is_leaf = count > 0
+
+    def leaf_fn(b):
+      def prim_body(k, b):
+        bt, btri, bu, bv = b
+        row = tri_ref[pl.ds(first + k, 1), :]
+        ok, t, u, v, tid = _tri_hit(row, ox, oy, oz, dx, dy, dz,
+                                    tmin, tmax, bt)
+        return (jnp.where(ok, t, bt),
+                jnp.where(ok, tid.astype(jnp.int32), btri),
+                jnp.where(ok, u, bu),
+                jnp.where(ok, v, bv))
+      return jax.lax.fori_loop(0, count, prim_body, b)
+
+    bt, btri, bu, bv = jax.lax.cond(anyhit & is_leaf, leaf_fn, lambda b: b,
+                                    (bt, btri, bu, bv))
+    i_next = jnp.where(anyhit & ~is_leaf, i + 1, skip)
+    return i_next, bt, btri, bu, bv
+
+  init = (jnp.int32(0),
+          jnp.full(ox.shape, jnp.inf, jnp.float32),
+          jnp.full(ox.shape, -1, jnp.int32),
+          jnp.zeros(ox.shape, jnp.float32),
+          jnp.zeros(ox.shape, jnp.float32))
+  _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+  t_out[...] = bt
+  tri_out[...] = btri
+  u_out[...] = bu
+  v_out[...] = bv
+
+
+def _kernel_bvh_anyhit(node_ref, meta_ref, tri_ref,
+                       ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                       tmin_ref, tmax_ref, occ_out):
+  import jax.experimental.pallas as pl
+
+  ox = ox_ref[...]
+  oy = oy_ref[...]
+  oz = oz_ref[...]
+  dx = dx_ref[...]
+  dy = dy_ref[...]
+  dz = dz_ref[...]
+  tmin = tmin_ref[...]
+  tmax = tmax_ref[...]
+
+  def safe_inv(x):
+    return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                           jnp.where(x < 0, -1e-20, 1e-20), x)
+
+  ivx = safe_inv(dx)
+  ivy = safe_inv(dy)
+  ivz = safe_inv(dz)
+  parx = jnp.abs(dx) < 1e-12
+  pary = jnp.abs(dy) < 1e-12
+  parz = jnp.abs(dz) < 1e-12
+
+  def slab(par, o1, iv, mn, mx):
+    t0 = (mn - o1) * iv
+    t1 = (mx - o1) * iv
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    inside = (o1 >= mn) & (o1 <= mx)
+    big = jnp.float32(3e38)
+    lo = jnp.where(par, jnp.where(inside, -big, big), lo)
+    hi = jnp.where(par, jnp.where(inside, big, -big), hi)
+    return lo, hi
+
+  num_nodes = node_ref.shape[0]
+  # rays with tmax <= 0 never hit; early-exit once every live ray is occluded
+  live = (tmax > 0.0).astype(jnp.float32)
+
+  def cond(c):
+    i, occ = c
+    return (i < num_nodes) & jnp.any((live - occ) > 0.5)
+
+  def body(c):
+    i, occ = c
+    nb = node_ref[pl.ds(i, 1), :]
+    meta = meta_ref[pl.ds(i, 1), :]
+    skip, first, count = meta[0, 0], meta[0, 1], meta[0, 2]
+
+    lox, hix = slab(parx, ox, ivx, nb[0, 0], nb[0, 3])
+    loy, hiy = slab(pary, oy, ivy, nb[0, 1], nb[0, 4])
+    loz, hiz = slab(parz, oz, ivz, nb[0, 2], nb[0, 5])
+    near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
+    far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, tmax))
+    # occluded rays stop contributing to the union -> more subtree skips
+    anyhit = jnp.any((near <= far * 1.0000002 + 1e-7) & (occ < 0.5))
+    is_leaf = count > 0
+
+    def leaf_fn(occ):
+      def prim_body(k, occ):
+        row = tri_ref[pl.ds(first + k, 1), :]
+        ok, _, _, _, _ = _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax,
+                                  jnp.full(ox.shape, jnp.inf, jnp.float32))
+        return jnp.maximum(occ, ok.astype(jnp.float32))
+      return jax.lax.fori_loop(0, count, prim_body, occ)
+
+    occ = jax.lax.cond(anyhit & is_leaf, leaf_fn, lambda o: o, occ)
+    i_next = jnp.where(anyhit & ~is_leaf, i + 1, skip)
+    return i_next, occ
+
+  _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                           jnp.zeros(ox.shape, jnp.float32)))
+  occ_out[...] = occ
+
+
+def _ray_planes(o, d, t_min, t_max, num_r, rb=_RB):
+  """Pad rays to tile multiples and split into (G, 128) component planes."""
+  tile = rb * _LANES
+  pad = (-num_r) % tile
+  if pad:
+    def padf(x, fill):
+      return jnp.concatenate([x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)])
+    o = padf(o, 0.0)
+    d = padf(d, 1.0)
+    t_min = padf(t_min, 0.0)
+    t_max = padf(t_max, -1.0)  # padded rays never hit
+  rp = num_r + pad
+  g = rp // _LANES
+
+  def plane(x):
+    return x.reshape(g, _LANES)
+
+  planes = [plane(o[:, 0]), plane(o[:, 1]), plane(o[:, 2]),
+            plane(d[:, 0]), plane(d[:, 1]), plane(d[:, 2]),
+            plane(t_min), plane(t_max)]
+  return planes, rp, g
+
+
+def _bvh_tables(bvh, tri_v0, tri_e1, tri_e2, tri_mask):
+  """Node AABB rows (N,8), meta rows (N,4) i32, reordered tri rows (T,16)."""
+  num_t = tri_v0.shape[0]
+  n = bvh.node_min.shape[0]
+  node_tab = jnp.concatenate(
+      [bvh.node_min, bvh.node_max, jnp.zeros((n, 2), jnp.float32)], axis=1)
+  meta = jnp.stack(
+      [bvh.node_skip, bvh.node_left, bvh.node_count,
+       jnp.zeros_like(bvh.node_skip)], axis=1).astype(jnp.int32)
+
+  order = bvh.prim_index
+  mask = jnp.ones(num_t, jnp.float32) if tri_mask is None \
+      else tri_mask.astype(jnp.float32)
+  tri_tab = jnp.concatenate(
+      [tri_v0[order], tri_e1[order], tri_e2[order],
+       mask[order][:, None], order.astype(jnp.float32)[:, None],
+       jnp.zeros((num_t, 5), jnp.float32)], axis=1)
+  tpad = (-num_t) % _SUBLANES
+  if tpad:
+    tri_tab = jnp.concatenate([tri_tab, jnp.zeros((tpad, 16), jnp.float32)])
+  npad = (-n) % _SUBLANES
+  if npad:
+    # padded nodes: empty box (never hits) and skip pointing past the END of
+    # the padded table — a zero skip would send the stream back to the root
+    # and never terminate (TPU watchdog kill)
+    pad_box = jnp.concatenate([
+        jnp.full((npad, 3), jnp.inf, jnp.float32),
+        jnp.full((npad, 3), -jnp.inf, jnp.float32),
+        jnp.zeros((npad, 2), jnp.float32)], axis=1)
+    node_tab = jnp.concatenate([node_tab, pad_box])
+    pad_meta = jnp.concatenate([
+        jnp.full((npad, 1), n + npad, jnp.int32),
+        jnp.zeros((npad, 3), jnp.int32)], axis=1)
+    meta = jnp.concatenate([meta, pad_meta])
+  return node_tab, meta, tri_tab, n
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rb"))
+def intersect_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                         tri_mask=None, interpret: bool = False,
+                         rb: int = _RB) -> Hit:
+  """Closest hit via the shared DFS-stream BVH kernel.
+
+  rb: ray sublane-rows per tile. Smaller tiles tighten the per-tile subtree
+  union (better pruning for coherent rays) at the cost of more grid
+  programs streaming the node list."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  node_tab, meta, tri_tab, n_nodes = _bvh_tables(
+      bvh, tri_v0, tri_e1, tri_e2, tri_mask)
+  planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
+
+  grid = (g // rb,)
+  kw = {"memory_space": pltpu.VMEM} if not interpret else {}
+  node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
+  meta_spec = pl.BlockSpec(meta.shape, lambda i: (0, 0), **kw)
+  tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
+  ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
+
+  out_shape = [
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.int32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+  ]
+  t, tri, u, v = pl.pallas_call(
+      _kernel_bvh,
+      grid=grid,
+      in_specs=[node_spec, meta_spec, tri_spec] + [ray_spec] * 8,
+      out_specs=[ray_spec] * 4,
+      out_shape=out_shape,
+      interpret=interpret,
+  )(node_tab, meta, tri_tab, *planes)
+
+  return Hit(t.reshape(rp)[:num_r], tri.reshape(rp)[:num_r],
+             u.reshape(rp)[:num_r], v.reshape(rp)[:num_r])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rb"))
+def occluded_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                        tri_mask=None, interpret: bool = False,
+                        rb: int = _RB) -> jnp.ndarray:
+  """Any-hit occlusion via the DFS-stream BVH kernel (early exit when the
+  whole tile is occluded)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  node_tab, meta, tri_tab, n_nodes = _bvh_tables(
+      bvh, tri_v0, tri_e1, tri_e2, tri_mask)
+  planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
+
+  grid = (g // rb,)
+  kw = {"memory_space": pltpu.VMEM} if not interpret else {}
+  node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
+  meta_spec = pl.BlockSpec(meta.shape, lambda i: (0, 0), **kw)
+  tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
+  ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
+
+  occ = pl.pallas_call(
+      _kernel_bvh_anyhit,
+      grid=grid,
+      in_specs=[node_spec, meta_spec, tri_spec] + [ray_spec] * 8,
+      out_specs=ray_spec,
+      out_shape=jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      interpret=interpret,
+  )(node_tab, meta, tri_tab, *planes)
+
+  return occ.reshape(rp)[:num_r] > 0.5
+
+
 def _kernel_anyhit(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tmin_ref, tmax_ref, occ_out):
   """Occlusion-only variant: OR-accumulates a hit bit, no closest reduction

@@ -166,14 +166,21 @@ _STACK_DEPTH = 64
 _PALLAS_TRI_LIMIT = 4096
 
 
-def _ray_aabb(node_min, node_max, o, inv_d, t_min, t_max):
+def _ray_aabb(node_min, node_max, o, d, inv_d, t_min, t_max):
   t0 = (node_min - o) * inv_d
   t1 = (node_max - o) * inv_d
   tlo = jnp.minimum(t0, t1)
   thi = jnp.maximum(t0, t1)
+  # axis-parallel rays: the clamped inverse mis-scores slabs the origin
+  # touches (o == bound, d == 0); use explicit inside/outside intervals
+  par = jnp.abs(d) < 1e-12
+  inside = (o >= node_min) & (o <= node_max)
+  big = jnp.float32(3e38)
+  tlo = jnp.where(par, jnp.where(inside, -big, big), tlo)
+  thi = jnp.where(par, jnp.where(inside, big, -big), thi)
   near = jnp.maximum(jnp.max(tlo), t_min)
   far = jnp.minimum(jnp.min(thi), t_max)
-  return near <= far
+  return near <= far * 1.0000002 + 1e-7
 
 
 def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
@@ -214,7 +221,7 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
       sp, stack, bt, btri, bu, bv = state
       sp = sp - 1
       node = stack[sp]
-      hit_box = _ray_aabb(bvh.node_min[node], bvh.node_max[node], o1, inv_d, tmin1, jnp.minimum(tmax1, bt))
+      hit_box = _ray_aabb(bvh.node_min[node], bvh.node_max[node], o1, d1, inv_d, tmin1, jnp.minimum(tmax1, bt))
       count = bvh.node_count[node]
       left = bvh.node_left[node]
       is_leaf = count > 0
@@ -252,18 +259,31 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   return Hit(bt, btri, bu, bv)
 
 
-def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool = True) -> Hit:
-  """Closest-hit dispatch: triangle-scan for small scenes, BVH otherwise.
+# above this triangle count the Pallas DFS-stream BVH kernel beats the
+# brute kernel (measured on v5e: brute wins through ~1k tris — 5.2 vs 3.7
+# Mrays/s on the 996-tri materials scene — because shared traversal can't
+# prune below the tile-union size; the stream kernel takes over where
+# O(T) brute becomes hopeless)
+_BVH_PALLAS_MIN_TRIS = 4096
 
-  The scan keeps all intermediates at (R,) so HBM traffic stays minimal;
-  the Pallas kernel (ops/pallas_trace.py) takes over on TPU when available.
-  """
+
+def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool = True) -> Hit:
+  """Closest-hit dispatch: brute Pallas/scan for tiny scenes, the Pallas
+  DFS-stream BVH kernel beyond, XLA per-ray-stack BVH as the fallback."""
   num_t = scene.tri_v0.shape[0]
-  if prefer_brute and num_t <= _PALLAS_TRI_LIMIT:
-    from etx_tracer_tpu.ops import pallas_trace
-    if pallas_trace.available():
+  from etx_tracer_tpu.ops import pallas_trace
+  if pallas_trace.available():
+    if prefer_brute and num_t <= _BVH_PALLAS_MIN_TRIS:
       return pallas_trace.intersect_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+    if scene.bvh.node_skip is not None:
+      return pallas_trace.intersect_bvh_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o, d, t_min, t_max, tri_mask)
+    if num_t <= _PALLAS_TRI_LIMIT:
+      return pallas_trace.intersect_pallas(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+  elif prefer_brute and num_t <= _PALLAS_TRI_LIMIT:
     return intersect_scan(scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
   return intersect_bvh(scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
 
@@ -271,13 +291,20 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
 def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
   """Boolean occlusion query for shadow rays (rt.cxx trace usage in NEE).
 
-  Uses the dedicated any-hit Pallas kernel when available — no closest
-  reduction or u/v bookkeeping, ~25% less per-triangle work than
-  trace_closest."""
+  Uses the dedicated any-hit Pallas kernels when available — no closest
+  reduction or u/v bookkeeping, plus whole-tile early exit in the BVH
+  variant."""
   num_t = scene.tri_v0.shape[0]
-  if num_t <= _PALLAS_TRI_LIMIT:
-    from etx_tracer_tpu.ops import pallas_trace
-    if pallas_trace.available():
+  from etx_tracer_tpu.ops import pallas_trace
+  if pallas_trace.available():
+    if num_t <= _BVH_PALLAS_MIN_TRIS:
+      return pallas_trace.occluded_pallas(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+    if scene.bvh.node_skip is not None:
+      return pallas_trace.occluded_bvh_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o, d, t_min, t_max, tri_mask)
+    if num_t <= _PALLAS_TRI_LIMIT:
       return pallas_trace.occluded_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
   hit = trace_closest(scene, o, d, t_min, t_max, tri_mask)

@@ -371,6 +371,7 @@ class SceneBuilder:
         node_left=jnp.asarray(bvh_arrays["node_left"]),
         node_count=jnp.asarray(bvh_arrays["node_count"]),
         prim_index=jnp.asarray(bvh_arrays["prim_index"]),
+        node_skip=jnp.asarray(bvh_arrays["node_skip"]),
     )
 
     emitters = st.Emitters(

@@ -162,6 +162,9 @@ class BVH(NamedTuple):
   node_left: jnp.ndarray  # (N,) int32: inner -> right child (left = i+1); leaf -> first prim
   node_count: jnp.ndarray  # (N,) int32: 0 for inner nodes
   prim_index: jnp.ndarray  # (T,) int32 reordered triangle ids
+  # skip offsets for stream traversal: first pre-order node NOT in subtree(i)
+  # (root skip = N). Host-computed; drives the Pallas DFS-stream kernel.
+  node_skip: Optional[jnp.ndarray] = None  # (N,) int32
 
 
 class DeviceScene(NamedTuple):

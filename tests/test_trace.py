@@ -74,3 +74,90 @@ class TestIntersect:
     # inner nodes have valid right children
     inner = counts == 0
     assert (arr["node_left"][inner] > 0).all()
+
+  def test_bvh_skip_offsets(self):
+    """Skip offsets define a valid DFS-stream order: skip[i] > i, leaves
+    skip to i+1, inner skips bound their subtree, and a full stream walk
+    (always descend) visits every node exactly once."""
+    import numpy as np
+    v0, e1, e2 = _random_tris(200)
+    arr = bvh_build.build_bvh(v0, e1, e2)
+    skip, left, count = arr["node_skip"], arr["node_left"], arr["node_count"]
+    n = len(skip)
+    assert (skip > np.arange(n)).all()
+    leaves = count > 0
+    assert (skip[leaves] == np.arange(n)[leaves] + 1).all()
+    inner = ~leaves
+    # left subtree = [i+1, right), right subtree = [right, skip[i])
+    assert (left[inner] > np.arange(n)[inner]).all()
+    assert (skip[inner] >= left[inner]).all()
+    assert (skip[left[inner]] <= skip[inner]).all() if inner.any() else True
+    # stream walk visiting every node: descend inner, skip after leaf
+    i, visited = 0, 0
+    while i < n:
+      visited += 1
+      i = i + 1 if count[i] == 0 else skip[i]
+    assert visited == n
+
+  def test_stream_traversal_matches_scan(self):
+    """Numpy model of the Pallas DFS-stream kernel (skip walk + robust
+    parallel-axis slabs) agrees with the exhaustive scan."""
+    import numpy as np
+    v0, e1, e2 = _random_tris(300)
+    arr = bvh_build.build_bvh(v0, e1, e2)
+    nmin, nmax = arr["node_min"], arr["node_max"]
+    left, count = arr["node_left"], arr["node_count"]
+    skip, prim = arr["node_skip"], arr["prim_index"]
+    n = len(left)
+    rs = np.random.RandomState(3)
+    R = 64
+    o = rs.randn(R, 3).astype(np.float32) * 2
+    d = rs.randn(R, 3).astype(np.float32)
+    # include axis-parallel rays (the robustness regression case)
+    d[:8, 0] = 0.0
+    d[8:12, 1] = 0.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-20
+
+    ref = trace.intersect_scan(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                               jnp.asarray(o), jnp.asarray(d),
+                               jnp.zeros(R), jnp.full(R, 100.0))
+    rt = np.asarray(ref.t)
+
+    def stream_one(o1, d1, tmin=0.0, tmax=100.0):
+      iv = 1.0 / np.where(np.abs(d1) < 1e-20,
+                          np.where(d1 < 0, -1e-20, 1e-20), d1)
+      par = np.abs(d1) < 1e-12
+      i, bt = 0, np.inf
+      while i < n:
+        t0 = (nmin[i] - o1) * iv
+        t1 = (nmax[i] - o1) * iv
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        inside = (o1 >= nmin[i]) & (o1 <= nmax[i])
+        lo = np.where(par, np.where(inside, -3e38, 3e38), lo)
+        hi = np.where(par, np.where(inside, 3e38, -3e38), hi)
+        near = max(lo.max(), tmin)
+        far = min(hi.min(), min(tmax, bt))
+        hit = near <= far * 1.0000002 + 1e-7
+        if count[i] > 0 and hit:
+          for k in range(count[i]):
+            orig = prim[left[i] + k]
+            vv0, ee1, ee2 = v0[orig], e1[orig], e2[orig]
+            px = np.cross(d1, ee2)
+            det = px @ ee1
+            if abs(det) <= 1e-9:
+              continue
+            inv = 1.0 / det
+            tx = o1 - vv0
+            u = tx @ px * inv
+            q = np.cross(tx, ee1)
+            w = q @ d1 * inv
+            t = q @ ee2 * inv
+            if u >= 0 and w >= 0 and u + w <= 1 and tmin <= t <= tmax and t < bt:
+              bt = t
+        i = i + 1 if (hit and count[i] == 0) else skip[i]
+      return bt
+
+    for j in range(R):
+      st = stream_one(o[j], d[j])
+      assert np.isclose(min(rt[j], 1e9), min(st, 1e9), rtol=1e-4), (j, rt[j], st)

@@ -267,6 +267,43 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
 _BVH_PALLAS_MIN_TRIS = 4096
 
 
+def _spread3(x):
+  """Spread 10 bits to every third bit (Morton interleave)."""
+  x = (x | (x << 16)) & 0x030000FF
+  x = (x | (x << 8)) & 0x0300F00F
+  x = (x | (x << 4)) & 0x030C30C3
+  x = (x | (x << 2)) & 0x09249249
+  return x
+
+
+def _ray_sort_keys(bvh, o, d):
+  """Spatial-major sort keys: 27-bit Morton cell of the origin (scene-box
+  normalized) with the 3-bit direction octant minor. Tiles of sorted rays
+  share subtrees, which is what the shared DFS-stream traversal prunes by."""
+  root_min = bvh.node_min[0]
+  root_ext = jnp.maximum(bvh.node_max[0] - root_min, 1e-6)
+  q = jnp.clip((o - root_min) / root_ext, 0.0, 1.0)
+  cell = (q * 511.0).astype(jnp.uint32)  # 9 bits/axis
+  morton = (_spread3(cell[:, 0]) | (_spread3(cell[:, 1]) << 1)
+            | (_spread3(cell[:, 2]) << 2))
+  octant = ((d[:, 0] >= 0).astype(jnp.uint32)
+            | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+            | ((d[:, 2] >= 0).astype(jnp.uint32) << 2))
+  return (morton << 3) | octant
+
+
+def _sorted_for_trace(bvh, o, d, t_min, t_max):
+  """Morton-sorted ray views + inverse permutation.
+
+  Measured NET NEGATIVE on v5e for the trace dispatch (argsort + permutes
+  ≈ 74 ms at 131k rays) — kept for offline experiments only."""
+  key = _ray_sort_keys(bvh, o, d)
+  perm = jnp.argsort(key)
+  inv = jnp.zeros_like(perm).at[perm].set(
+      jnp.arange(perm.shape[0], dtype=perm.dtype))
+  return (o[perm], d[perm], t_min[perm], t_max[perm]), inv
+
+
 def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool = True) -> Hit:
   """Closest-hit dispatch: brute Pallas/scan for tiny scenes, the Pallas
   DFS-stream BVH kernel beyond, XLA per-ray-stack BVH as the fallback."""
@@ -277,6 +314,9 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
       return pallas_trace.intersect_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
     if scene.bvh.node_skip is not None:
+      # NOTE: Morton-sorting rays before the kernel was measured NET
+      # NEGATIVE on v5e (argsort + permute ≈ 74 ms at 131k rays vs ≤112 ms
+      # total trace): wavefront lanes already keep pixel-neighborhood order
       return pallas_trace.intersect_bvh_pallas(
           scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
           o, d, t_min, t_max, tri_mask)

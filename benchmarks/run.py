@@ -84,6 +84,15 @@ def run_config(name, size, spp):
     fs_pt = path_tracing.render(scene, config, iterations=spp)
     pt_img = np.asarray(film_mod.result_image(fs_pt))
     result["rmse_vs_pt"] = round(image_io.rmse(img, pt_img), 5)
+  elif name == "bigscene":
+    b = scenes.bigscene(size)
+    scene, config = b.build()
+    result["triangles"] = int(scene.tri_idx.shape[0])
+    (sums, rays), dt = _timed(
+        lambda: path_tracing.render_samples_static(scene, config, 0, spp))
+    result["seconds"] = round(dt, 3)
+    result["mrays_per_s"] = round(float(rays) / dt / 1e6, 3)
+    img = np.asarray(path_tracing.finalize_film(sums, spp, config.film_width).camera)
   else:
     raise ValueError(name)
 
@@ -92,7 +101,8 @@ def run_config(name, size, spp):
   return result, img
 
 
-CONFIGS = ["cornell_pt", "materials", "atmosphere", "volumetric", "caustics"]
+CONFIGS = ["cornell_pt", "materials", "atmosphere", "volumetric", "caustics",
+           "bigscene"]
 
 
 def main(argv=None):

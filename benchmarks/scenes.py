@@ -176,3 +176,59 @@ def caustics(size=(512, 512), spectral=True):
       faces += [[a, bq, c], [a, c, d]]
   b.add_mesh(verts, np.asarray(faces, np.int32), m_glass, normals=nrms)
   return b
+
+
+def _icosphere_mesh(center, radius, order=3):
+  """Subdivided icosahedron: verts, faces, unit normals."""
+  t = (1.0 + np.sqrt(5.0)) / 2.0
+  v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float64)
+  v /= np.linalg.norm(v, axis=1, keepdims=True)
+  f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+               np.int32)
+  for _ in range(order):
+    nv = list(v)
+    cache = {}
+    nf = []
+
+    def mid(a, bb):
+      key = (min(a, bb), max(a, bb))
+      if key not in cache:
+        m = v[a] + v[bb]
+        cache[key] = len(nv)
+        nv.append(m / np.linalg.norm(m))
+      return cache[key]
+
+    for (a, bb, cc) in f:
+      ab, bc, ca = mid(a, bb), mid(bb, cc), mid(cc, a)
+      nf += [[a, ab, ca], [bb, bc, ab], [cc, ca, bc], [ab, bc, ca]]
+    v = np.asarray(nv)
+    f = np.asarray(nf, np.int32)
+  verts = (v * radius + np.asarray(center)).astype(np.float32)
+  return verts, f, v.astype(np.float32)
+
+
+def bigscene(size=(512, 512)):
+  """Production-scale geometry stress (not a BASELINE config): a Cornell
+  box filled with a 4x3 grid of order-3 icospheres (~16k triangles), which
+  routes tracing through the Pallas DFS-stream BVH kernel (>4096 tris)."""
+  b = build_cornell_box(film_size=size, diffuse_only=True, max_path_length=8)
+  colors = [(0.8, 0.3, 0.2), (0.2, 0.7, 0.3), (0.3, 0.4, 0.8),
+            (0.8, 0.7, 0.2), (0.7, 0.3, 0.7), (0.3, 0.7, 0.7)]
+  rs = np.random.RandomState(5)
+  for gx in range(4):
+    for gy in range(3):
+      cx = -0.65 + gx * 0.44
+      cz = -0.5 + gy * 0.5
+      r = 0.13 + 0.05 * rs.rand()
+      m = b.add_material(MaterialDesc(
+          name=f"s{gx}{gy}", cls=st.MaterialClass.Diffuse,
+          scattering_spec=b.add_spectrum(sp.SpectralDistribution.rgb_reflectance(
+              np.asarray(colors[(gx * 3 + gy) % len(colors)], np.float32)))))
+      verts, fcs, nrms = _icosphere_mesh((cx, r + 0.3 * rs.rand(), cz), r)
+      b.add_mesh(verts, fcs, m, normals=nrms)
+  return b

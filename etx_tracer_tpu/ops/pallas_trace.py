@@ -186,13 +186,31 @@ def intersect_pallas(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max, tri_mask=None) 
 # ---------------------------------------------------------------------------
 
 
+def _read_packed(ref, idx):
+  """Read entry `idx` of a chunk-packed table -> (16, 1) component column.
+
+  Layout (_pack16): entry chunks of 128 consecutive entries, each chunk
+  stored as 16 component rows x 128 lanes. The sublane start (idx//128)*16
+  is provably 16-aligned, and the lane extraction is a one-hot reduce —
+  VMEM-dense (a plain (N,16) row table tile-pads every row to 128 lanes,
+  a 16x blowup that OOMs vmem around ~10k nodes), and Mosaic-legal (dynamic
+  LANE slices must be 128-aligned; sublane slices only need 8)."""
+  import jax.experimental.pallas as pl
+  base = pl.multiple_of((idx // _LANES) * 16, 16)
+  block = ref[pl.ds(base, 16), :]
+  oh = (jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        == (idx % _LANES)).astype(jnp.float32)
+  return jnp.sum(block * oh, axis=1, keepdims=True)
+
+
 def _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax, best_t):
-  """Moller-Trumbore one row vs the ray tile; returns (ok, t, u, v, id)."""
-  v0x, v0y, v0z = row[0, 0], row[0, 1], row[0, 2]
-  e1x, e1y, e1z = row[0, 3], row[0, 4], row[0, 5]
-  e2x, e2y, e2z = row[0, 6], row[0, 7], row[0, 8]
-  m = row[0, 9] > 0.5
-  tid = row[0, 10]
+  """Moller-Trumbore one packed column vs the ray tile; returns
+  (ok, t, u, v, id)."""
+  v0x, v0y, v0z = row[0, 0], row[1, 0], row[2, 0]
+  e1x, e1y, e1z = row[3, 0], row[4, 0], row[5, 0]
+  e2x, e2y, e2z = row[6, 0], row[7, 0], row[8, 0]
+  m = row[9, 0] > 0.5
+  tid = row[10, 0]
 
   px = dy * e2z - dz * e2y
   py = dz * e2x - dx * e2z
@@ -214,11 +232,11 @@ def _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax, best_t):
   return ok, t, u, v, tid
 
 
-def _kernel_bvh(node_ref, meta_ref, tri_ref,
+def _kernel_bvh(node_ref, tri_ref,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tmin_ref, tmax_ref,
                 t_out, tri_out, u_out, v_out):
-  import jax.experimental.pallas as pl
+  import jax.experimental.pallas as pl  # noqa: F401 (used via _read_packed)
 
   ox = ox_ref[...]
   oy = oy_ref[...]
@@ -254,20 +272,21 @@ def _kernel_bvh(node_ref, meta_ref, tri_ref,
     hi = jnp.where(par, jnp.where(inside, big, -big), hi)
     return lo, hi
 
-  num_nodes = node_ref.shape[0]
+  num_nodes = node_ref.shape[0] // 16 * _LANES
 
   def cond(c):
     return c[0] < num_nodes
 
   def body(c):
     i, bt, btri, bu, bv = c
-    nb = node_ref[pl.ds(i, 1), :]
-    meta = meta_ref[pl.ds(i, 1), :]
-    skip, first, count = meta[0, 0], meta[0, 1], meta[0, 2]
+    nc = _read_packed(node_ref, i)
+    skip = nc[6, 0].astype(jnp.int32)
+    first = nc[7, 0].astype(jnp.int32)
+    count = nc[8, 0].astype(jnp.int32)
 
-    lox, hix = slab(parx, ox, ivx, nb[0, 0], nb[0, 3])
-    loy, hiy = slab(pary, oy, ivy, nb[0, 1], nb[0, 4])
-    loz, hiz = slab(parz, oz, ivz, nb[0, 2], nb[0, 5])
+    lox, hix = slab(parx, ox, ivx, nc[0, 0], nc[3, 0])
+    loy, hiy = slab(pary, oy, ivy, nc[1, 0], nc[4, 0])
+    loz, hiz = slab(parz, oz, ivz, nc[2, 0], nc[5, 0])
     near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
     far = jnp.minimum(jnp.minimum(hix, hiy),
                       jnp.minimum(hiz, jnp.minimum(tmax, bt)))
@@ -275,20 +294,21 @@ def _kernel_bvh(node_ref, meta_ref, tri_ref,
     anyhit = jnp.any(near <= far * 1.0000002 + 1e-7)
     is_leaf = count > 0
 
-    def leaf_fn(b):
-      def prim_body(k, b):
-        bt, btri, bu, bv = b
-        row = tri_ref[pl.ds(first + k, 1), :]
-        ok, t, u, v, tid = _tri_hit(row, ox, oy, oz, dx, dy, dz,
-                                    tmin, tmax, bt)
-        return (jnp.where(ok, t, bt),
-                jnp.where(ok, tid.astype(jnp.int32), btri),
-                jnp.where(ok, u, bu),
-                jnp.where(ok, v, bv))
-      return jax.lax.fori_loop(0, count, prim_body, b)
+    def prim_body(k, b):
+      bt, btri, bu, bv = b
+      row = _read_packed(tri_ref, first + k)
+      ok, t, u, v, tid = _tri_hit(row, ox, oy, oz, dx, dy, dz,
+                                  tmin, tmax, bt)
+      return (jnp.where(ok, t, bt),
+              jnp.where(ok, tid.astype(jnp.int32), btri),
+              jnp.where(ok, u, bu),
+              jnp.where(ok, v, bv))
 
-    bt, btri, bu, bv = jax.lax.cond(anyhit & is_leaf, leaf_fn, lambda b: b,
-                                    (bt, btri, bu, bv))
+    # zero-trip bound instead of lax.cond: branch frames capture the live
+    # vector set and blow the Mosaic vmem stack in fused contexts
+    n_test = jnp.where(anyhit & is_leaf, count, 0)
+    bt, btri, bu, bv = jax.lax.fori_loop(0, n_test, prim_body,
+                                         (bt, btri, bu, bv))
     i_next = jnp.where(anyhit & ~is_leaf, i + 1, skip)
     return i_next, bt, btri, bu, bv
 
@@ -304,10 +324,10 @@ def _kernel_bvh(node_ref, meta_ref, tri_ref,
   v_out[...] = bv
 
 
-def _kernel_bvh_anyhit(node_ref, meta_ref, tri_ref,
+def _kernel_bvh_anyhit(node_ref, tri_ref,
                        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                        tmin_ref, tmax_ref, occ_out):
-  import jax.experimental.pallas as pl
+  import jax.experimental.pallas as pl  # noqa: F401 (used via _read_packed)
 
   ox = ox_ref[...]
   oy = oy_ref[...]
@@ -340,7 +360,7 @@ def _kernel_bvh_anyhit(node_ref, meta_ref, tri_ref,
     hi = jnp.where(par, jnp.where(inside, big, -big), hi)
     return lo, hi
 
-  num_nodes = node_ref.shape[0]
+  num_nodes = node_ref.shape[0] // 16 * _LANES
   # rays with tmax <= 0 never hit; early-exit once every live ray is occluded
   live = (tmax > 0.0).astype(jnp.float32)
 
@@ -350,28 +370,28 @@ def _kernel_bvh_anyhit(node_ref, meta_ref, tri_ref,
 
   def body(c):
     i, occ = c
-    nb = node_ref[pl.ds(i, 1), :]
-    meta = meta_ref[pl.ds(i, 1), :]
-    skip, first, count = meta[0, 0], meta[0, 1], meta[0, 2]
+    nc = _read_packed(node_ref, i)
+    skip = nc[6, 0].astype(jnp.int32)
+    first = nc[7, 0].astype(jnp.int32)
+    count = nc[8, 0].astype(jnp.int32)
 
-    lox, hix = slab(parx, ox, ivx, nb[0, 0], nb[0, 3])
-    loy, hiy = slab(pary, oy, ivy, nb[0, 1], nb[0, 4])
-    loz, hiz = slab(parz, oz, ivz, nb[0, 2], nb[0, 5])
+    lox, hix = slab(parx, ox, ivx, nc[0, 0], nc[3, 0])
+    loy, hiy = slab(pary, oy, ivy, nc[1, 0], nc[4, 0])
+    loz, hiz = slab(parz, oz, ivz, nc[2, 0], nc[5, 0])
     near = jnp.maximum(jnp.maximum(lox, loy), jnp.maximum(loz, tmin))
     far = jnp.minimum(jnp.minimum(hix, hiy), jnp.minimum(hiz, tmax))
     # occluded rays stop contributing to the union -> more subtree skips
     anyhit = jnp.any((near <= far * 1.0000002 + 1e-7) & (occ < 0.5))
     is_leaf = count > 0
 
-    def leaf_fn(occ):
-      def prim_body(k, occ):
-        row = tri_ref[pl.ds(first + k, 1), :]
-        ok, _, _, _, _ = _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax,
-                                  jnp.full(ox.shape, jnp.inf, jnp.float32))
-        return jnp.maximum(occ, ok.astype(jnp.float32))
-      return jax.lax.fori_loop(0, count, prim_body, occ)
+    def prim_body(k, occ):
+      row = _read_packed(tri_ref, first + k)
+      ok, _, _, _, _ = _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax,
+                                jnp.full(ox.shape, jnp.inf, jnp.float32))
+      return jnp.maximum(occ, ok.astype(jnp.float32))
 
-    occ = jax.lax.cond(anyhit & is_leaf, leaf_fn, lambda o: o, occ)
+    n_test = jnp.where(anyhit & is_leaf, count, 0)
+    occ = jax.lax.fori_loop(0, n_test, prim_body, occ)
     i_next = jnp.where(anyhit & ~is_leaf, i + 1, skip)
     return i_next, occ
 
@@ -403,41 +423,59 @@ def _ray_planes(o, d, t_min, t_max, num_r, rb=_RB):
   return planes, rp, g
 
 
+def _pack16(rows):
+  """(E, 16) component rows -> chunk-packed (ceil(E/128)*16, 128).
+
+  128-entry chunks; within a chunk the 16 components are sublane rows.
+  _read_packed is the kernel-side reader. Keeps the lane dimension dense:
+  a plain (E, 16) row table tile-pads every row to 128 lanes (16x VMEM,
+  which OOMs the kernel around ~10k nodes)."""
+  e = rows.shape[0]
+  chunks = (e + _LANES - 1) // _LANES
+  pad = chunks * _LANES - e
+  if pad:
+    rows = jnp.concatenate([rows, jnp.zeros((pad, 16), rows.dtype)])
+  return rows.reshape(chunks, _LANES, 16).transpose(0, 2, 1).reshape(
+      chunks * 16, _LANES)
+
+
 def _bvh_tables(bvh, tri_v0, tri_e1, tri_e2, tri_mask):
-  """Node AABB rows (N,8), meta rows (N,4) i32, reordered tri rows (T,16)."""
+  """Chunk-packed node and triangle tables for the stream kernels.
+
+  Node entry components: [min(3), max(3), skip, first, count, 0...] — the
+  int fields ride as f32 (exact below 2^24). Triangle entries:
+  [v0(3), e1(3), e2(3), mask, original id, 0...]."""
   num_t = tri_v0.shape[0]
   n = bvh.node_min.shape[0]
-  node_tab = jnp.concatenate(
-      [bvh.node_min, bvh.node_max, jnp.zeros((n, 2), jnp.float32)], axis=1)
-  meta = jnp.stack(
-      [bvh.node_skip, bvh.node_left, bvh.node_count,
-       jnp.zeros_like(bvh.node_skip)], axis=1).astype(jnp.int32)
+  npad = (-n) % _LANES
+  n_total = n + npad
+  node_rows = jnp.concatenate(
+      [bvh.node_min, bvh.node_max,
+       bvh.node_skip.astype(jnp.float32)[:, None],
+       bvh.node_left.astype(jnp.float32)[:, None],
+       bvh.node_count.astype(jnp.float32)[:, None],
+       jnp.zeros((n, 7), jnp.float32)], axis=1)
+  if npad:
+    # padded nodes: empty box (never hits) and skip pointing past the END
+    # of the padded table — a zero skip would send the stream back to the
+    # root and never terminate (TPU watchdog kill). FINITE sentinels: an
+    # inf box would turn the one-hot lane reduce into inf*0 = NaN for every
+    # real entry sharing the final chunk
+    pad_rows = jnp.concatenate([
+        jnp.full((npad, 3), 3e38, jnp.float32),
+        jnp.full((npad, 3), -3e38, jnp.float32),
+        jnp.full((npad, 1), float(n_total), jnp.float32),
+        jnp.zeros((npad, 9), jnp.float32)], axis=1)
+    node_rows = jnp.concatenate([node_rows, pad_rows])
 
   order = bvh.prim_index
   mask = jnp.ones(num_t, jnp.float32) if tri_mask is None \
       else tri_mask.astype(jnp.float32)
-  tri_tab = jnp.concatenate(
+  tri_rows = jnp.concatenate(
       [tri_v0[order], tri_e1[order], tri_e2[order],
        mask[order][:, None], order.astype(jnp.float32)[:, None],
        jnp.zeros((num_t, 5), jnp.float32)], axis=1)
-  tpad = (-num_t) % _SUBLANES
-  if tpad:
-    tri_tab = jnp.concatenate([tri_tab, jnp.zeros((tpad, 16), jnp.float32)])
-  npad = (-n) % _SUBLANES
-  if npad:
-    # padded nodes: empty box (never hits) and skip pointing past the END of
-    # the padded table — a zero skip would send the stream back to the root
-    # and never terminate (TPU watchdog kill)
-    pad_box = jnp.concatenate([
-        jnp.full((npad, 3), jnp.inf, jnp.float32),
-        jnp.full((npad, 3), -jnp.inf, jnp.float32),
-        jnp.zeros((npad, 2), jnp.float32)], axis=1)
-    node_tab = jnp.concatenate([node_tab, pad_box])
-    pad_meta = jnp.concatenate([
-        jnp.full((npad, 1), n + npad, jnp.int32),
-        jnp.zeros((npad, 3), jnp.int32)], axis=1)
-    meta = jnp.concatenate([meta, pad_meta])
-  return node_tab, meta, tri_tab, n
+  return _pack16(node_rows), _pack16(tri_rows), n
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rb"))
@@ -453,14 +491,13 @@ def intersect_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   from jax.experimental.pallas import tpu as pltpu
 
   num_r = o.shape[0]
-  node_tab, meta, tri_tab, n_nodes = _bvh_tables(
+  node_tab, tri_tab, n_nodes = _bvh_tables(
       bvh, tri_v0, tri_e1, tri_e2, tri_mask)
   planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
 
   grid = (g // rb,)
   kw = {"memory_space": pltpu.VMEM} if not interpret else {}
   node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
-  meta_spec = pl.BlockSpec(meta.shape, lambda i: (0, 0), **kw)
   tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
   ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
 
@@ -473,11 +510,11 @@ def intersect_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   t, tri, u, v = pl.pallas_call(
       _kernel_bvh,
       grid=grid,
-      in_specs=[node_spec, meta_spec, tri_spec] + [ray_spec] * 8,
+      in_specs=[node_spec, tri_spec] + [ray_spec] * 8,
       out_specs=[ray_spec] * 4,
       out_shape=out_shape,
       interpret=interpret,
-  )(node_tab, meta, tri_tab, *planes)
+  )(node_tab, tri_tab, *planes)
 
   return Hit(t.reshape(rp)[:num_r], tri.reshape(rp)[:num_r],
              u.reshape(rp)[:num_r], v.reshape(rp)[:num_r])
@@ -493,25 +530,24 @@ def occluded_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   from jax.experimental.pallas import tpu as pltpu
 
   num_r = o.shape[0]
-  node_tab, meta, tri_tab, n_nodes = _bvh_tables(
+  node_tab, tri_tab, n_nodes = _bvh_tables(
       bvh, tri_v0, tri_e1, tri_e2, tri_mask)
   planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
 
   grid = (g // rb,)
   kw = {"memory_space": pltpu.VMEM} if not interpret else {}
   node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
-  meta_spec = pl.BlockSpec(meta.shape, lambda i: (0, 0), **kw)
   tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
   ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
 
   occ = pl.pallas_call(
       _kernel_bvh_anyhit,
       grid=grid,
-      in_specs=[node_spec, meta_spec, tri_spec] + [ray_spec] * 8,
+      in_specs=[node_spec, tri_spec] + [ray_spec] * 8,
       out_specs=ray_spec,
       out_shape=jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
       interpret=interpret,
-  )(node_tab, meta, tri_tab, *planes)
+  )(node_tab, tri_tab, *planes)
 
   return occ.reshape(rp)[:num_r] > 0.5
 

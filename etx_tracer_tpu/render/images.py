@@ -99,30 +99,64 @@ def _searchsorted_rows(cdf_rows, u, length):
   return jnp.clip(hi, 0, length - 1)
 
 
+def _alias_pick(gather_p, gather_i, u, n):
+  """O(1) alias-method draw. gather_p/gather_i map a slot array (R,) to its
+  table entries (element gathers — never whole rows). Returns (index,
+  sub-uniform): the leftover randomness within the chosen branch is uniform
+  and serves as the intra-texel offset."""
+  scaled = jnp.clip(u, 0.0, 1.0 - 1e-7) * n
+  j = scaled.astype(jnp.int32)
+  frac = scaled - j.astype(jnp.float32)
+  prob = gather_p(j)
+  alias = gather_i(j)
+  keep = frac < prob
+  idx = jnp.where(keep, j, alias)
+  sub = jnp.where(keep,
+                  frac / jnp.maximum(prob, 1e-12),
+                  (frac - prob) / jnp.maximum(1.0 - prob, 1e-12))
+  return idx, jnp.clip(sub, 0.0, 1.0 - 1e-7)
+
+
 def sample(bank, idx, rnd):
-  """Importance-sample (uv, pdf) from an image's 2D CDF (image.hxx:119-148)."""
+  """Importance-sample (uv, pdf) from an image's 2D distribution
+  (image.hxx:119-148 semantics — identical density, alias-table draw).
+
+  The reference walks row/column CDFs; a per-lane binary search would
+  gather whole (R, W) CDF rows (hundreds of MB of HBM per NEE for big env
+  maps), so sampling uses Vose alias tables: a couple of scalar gathers
+  per draw with the same piecewise-constant distribution.
+  """
   size = bank.size[idx]
-  h_pad = bank.col_cdf.shape[1]
-  w_pad = bank.row_cdf.shape[2]
-
-  col_rows = bank.col_cdf[idx]       # (R, Hpad)
-  y = _searchsorted_rows(col_rows, rnd[:, 1], h_pad)
-  row_rows = bank.row_cdf[idx, y]    # (R, Wpad)
-  x = _searchsorted_rows(row_rows, rnd[:, 0], w_pad)
-
-  # continuous offset within the texel (image.hxx:127-139)
-  def cdf_at(rows, i):
-    prev = jnp.where(i > 0, jnp.take_along_axis(rows, jnp.maximum(i - 1, 0)[..., None], -1)[..., 0], 0.0)
-    cur = jnp.take_along_axis(rows, i[..., None], -1)[..., 0]
-    return prev, cur
-
-  x0c, x1c = cdf_at(row_rows, x)
-  y0c, y1c = cdf_at(col_rows, y)
-  dx = jnp.where(x1c > x0c, (rnd[:, 0] - x0c) / jnp.maximum(x1c - x0c, 1e-12), 0.0)
-  dy = jnp.where(y1c > y0c, (rnd[:, 1] - y0c) / jnp.maximum(y1c - y0c, 1e-12), 0.0)
-
   fw = size[:, 0].astype(jnp.float32)
   fh = size[:, 1].astype(jnp.float32)
+
+  if bank.col_ap is not None:
+    h_pad = bank.col_ap.shape[1]
+    w_pad = bank.row_ap.shape[2]
+    # alias slots are uniform over the PADDED extents; out-of-image slots
+    # have zero probability so picks always land inside the true image
+    y, dy = _alias_pick(lambda j: bank.col_ap[idx, j],
+                        lambda j: bank.col_ai[idx, j], rnd[:, 1], h_pad)
+    x, dx = _alias_pick(lambda j: bank.row_ap[idx, y, j],
+                        lambda j: bank.row_ai[idx, y, j], rnd[:, 0], w_pad)
+  else:  # CDF fallback (banks built before alias tables existed)
+    h_pad = bank.col_cdf.shape[1]
+    w_pad = bank.row_cdf.shape[2]
+    col_rows = bank.col_cdf[idx]       # (R, Hpad)
+    y = _searchsorted_rows(col_rows, rnd[:, 1], h_pad)
+    row_rows = bank.row_cdf[idx, y]    # (R, Wpad)
+    x = _searchsorted_rows(row_rows, rnd[:, 0], w_pad)
+
+    def cdf_at(rows, i):
+      prev = jnp.where(i > 0, jnp.take_along_axis(rows, jnp.maximum(i - 1, 0)[..., None], -1)[..., 0], 0.0)
+      cur = jnp.take_along_axis(rows, i[..., None], -1)[..., 0]
+      return prev, cur
+
+    x0c, x1c = cdf_at(row_rows, x)
+    y0c, y1c = cdf_at(col_rows, y)
+    dx = jnp.where(x1c > x0c, (rnd[:, 0] - x0c) / jnp.maximum(x1c - x0c, 1e-12), 0.0)
+    dy = jnp.where(y1c > y0c, (rnd[:, 1] - y0c) / jnp.maximum(y1c - y0c, 1e-12), 0.0)
+
   uv = jnp.stack([(x.astype(jnp.float32) + dx) / fw,
                   (y.astype(jnp.float32) + dy) / fh], axis=-1)
   pdf = pdf_at(bank, idx, uv)
@@ -142,6 +176,31 @@ def pdf_at(bank, idx, uv):
 # ---------------------------------------------------------------------------
 # Host-side bank building
 # ---------------------------------------------------------------------------
+
+
+def _alias_table(p: np.ndarray):
+  """Vose alias method. p: probabilities summing to 1 (zeros allowed).
+
+  Returns (prob, alias): draw j uniform, keep j if frac < prob[j] else
+  take alias[j] — identical distribution to a CDF search in O(1)."""
+  n = p.shape[0]
+  prob = np.zeros(n, np.float32)
+  alias = np.zeros(n, np.int32)
+  scaled = p.astype(np.float64) * n
+  small = [i for i in range(n) if scaled[i] < 1.0]
+  large = [i for i in range(n) if scaled[i] >= 1.0]
+  while small and large:
+    s = small.pop()
+    l = large.pop()
+    prob[s] = scaled[s]
+    alias[s] = l
+    scaled[l] = (scaled[l] + scaled[s]) - 1.0
+    (small if scaled[l] < 1.0 else large).append(l)
+  for i in large:
+    prob[i] = 1.0
+  for i in small:  # numerical leftovers
+    prob[i] = 1.0
+  return prob, alias
 
 
 def build_bank(images: list[dict]):
@@ -165,6 +224,10 @@ def build_bank(images: list[dict]):
   offset = np.zeros((n, 2), np.float32)
   scale_u = np.ones(n, np.float32)
   normalization = np.ones(n, np.float32)
+  col_ap = np.ones((n, h_max), np.float32)
+  col_ai = np.zeros((n, h_max), np.int32)
+  row_ap = np.ones((n, h_max, w_max), np.float32)
+  row_ai = np.zeros((n, h_max, w_max), np.int32)
 
   for i, im in enumerate(images):
     px = im["pixels"].astype(np.float32)
@@ -194,6 +257,16 @@ def build_bank(images: list[dict]):
       col_pdf[i, :h] = cp * h
       col_cdf[i, :h] = cc
       normalization[i] = total / (w * h)
+      # alias tables over the PADDED extents (pad entries get zero prob)
+      cp_pad = np.zeros(h_max, np.float64)
+      cp_pad[:h] = cp
+      col_ap[i], col_ai[i] = _alias_table(cp_pad)
+      for yy in range(h):
+        rp_pad = np.zeros(w_max, np.float64)
+        rp_pad[:w] = rp[yy]
+        if rp_pad.sum() <= 0:
+          rp_pad[:w] = 1.0 / w
+        row_ap[i, yy], row_ai[i, yy] = _alias_table(rp_pad / rp_pad.sum())
 
   return ImageBank(
       pixels=jnp.asarray(pixels), size=jnp.asarray(size),
@@ -201,7 +274,9 @@ def build_bank(images: list[dict]):
       row_cdf=jnp.asarray(row_cdf), row_pdf=jnp.asarray(row_pdf),
       col_cdf=jnp.asarray(col_cdf), col_pdf=jnp.asarray(col_pdf),
       offset=jnp.asarray(offset), scale_u=jnp.asarray(scale_u),
-      normalization=jnp.asarray(normalization))
+      normalization=jnp.asarray(normalization),
+      col_ap=jnp.asarray(col_ap), col_ai=jnp.asarray(col_ai),
+      row_ap=jnp.asarray(row_ap), row_ai=jnp.asarray(row_ai))
 
 
 def apply_normal_map(scene, sd, geo_n):

@@ -597,4 +597,8 @@ def _empty_image_bank() -> st.ImageBank:
       offset=jnp.zeros((1, 2), jnp.float32),
       scale_u=jnp.ones((1,), jnp.float32),
       normalization=jnp.ones((1,), jnp.float32),
+      col_ap=jnp.ones((1, 1), jnp.float32),
+      col_ai=jnp.zeros((1, 1), jnp.int32),
+      row_ap=jnp.ones((1, 1, 1), jnp.float32),
+      row_ai=jnp.zeros((1, 1, 1), jnp.int32),
   )

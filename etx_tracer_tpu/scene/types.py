@@ -153,6 +153,13 @@ class ImageBank(NamedTuple):
   offset: jnp.ndarray     # (I, 2) float32 uv offset (env maps)
   scale_u: jnp.ndarray    # (I,) float32
   normalization: jnp.ndarray  # (I,) float32 CDF pdf normalization
+  # O(1) alias tables (Vose) for importance sampling: the searchsorted CDF
+  # walk gathered whole (R, W) rows per lane — hundreds of MB of HBM
+  # traffic per NEE on big env maps. Same distribution, ~6 scalar gathers.
+  col_ap: Optional[jnp.ndarray] = None  # (I, H) float32 alias probs
+  col_ai: Optional[jnp.ndarray] = None  # (I, H) int32 alias targets
+  row_ap: Optional[jnp.ndarray] = None  # (I, H, W) float32
+  row_ai: Optional[jnp.ndarray] = None  # (I, H, W) int32
 
 
 class BVH(NamedTuple):

@@ -10,6 +10,9 @@ variance).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from etx_tracer_tpu.render import spectral as spx
@@ -62,6 +65,12 @@ NUM_SAMPLE_RND = 7
 # `mask` start-mask so the while_loop only iterates for consuming lanes
 _WALK_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric})
 
+# classes expensive enough to wrap in lax.cond when multiple classes are
+# compiled: the branch is skipped entirely on bounces whose wavefront holds
+# no lanes of the class
+_COND_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric,
+                           MC.Thinfilm, MC.Principled, MC.Velvet})
+
 
 def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
            classes: tuple, variations: tuple = (0,)) -> lobes.BSDFSampleR:
@@ -73,19 +82,29 @@ def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
       eta=jnp.ones(r), is_delta=jnp.ones(r, bool),
       is_diffuse=jnp.zeros(r, bool), is_reflection=jnp.zeros(r, bool),
       medium=sd.medium)
+  zeros = result
   for cls in classes:
     cls_mask = sd.mat.cls == cls
     if cls == MC.Principled:
-      out = _principled_sample(scene, sd, rnd, spectral, mask=cls_mask)
+      fn = lambda m: _principled_sample(scene, sd, rnd, spectral, mask=m)
     elif cls == MC.Diffuse:
-      out = lobes.diffuse_sample(scene, sd, rnd, spectral, variations,
-                                 mask=cls_mask)
+      fn = lambda m: lobes.diffuse_sample(scene, sd, rnd, spectral,
+                                          variations, mask=m)
     elif cls in _WALK_CLASSES:
-      out = _SAMPLERS[cls](scene, sd, rnd, spectral, mask=cls_mask)
+      fn = functools.partial(
+          lambda c, m: _SAMPLERS[c](scene, sd, rnd, spectral, mask=m), cls)
     elif cls in _SAMPLERS:
-      out = _SAMPLERS[cls](scene, sd, rnd, spectral)
+      fn = functools.partial(
+          lambda c, m: _SAMPLERS[c](scene, sd, rnd, spectral), cls)
     else:  # Void
       continue
+    if len(classes) > 1 and cls in _COND_CLASSES:
+      # real control flow: a bounce whose wavefront holds no lanes of this
+      # class skips its whole subgraph (classes localize spatially)
+      out = jax.lax.cond(jnp.any(cls_mask),
+                         lambda fn=fn, m=cls_mask: fn(m), lambda: zeros)
+    else:
+      out = fn(cls_mask)
     result = _select_sample(cls_mask, out, result)
   return result
 
@@ -97,19 +116,27 @@ def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple,
   c = spx.channels(spectral)
   bsdf = jnp.zeros((r, c))
   pdf = jnp.zeros(r)
+  zeros = (bsdf, pdf)
   for cls in classes:
     cls_mask = sd.mat.cls == cls
     if cls == MC.Principled:
-      b, p = _principled_evaluate(scene, sd, w_o, spectral, mask=cls_mask)
+      fn = lambda m: _principled_evaluate(scene, sd, w_o, spectral, mask=m)
     elif cls == MC.Diffuse:
-      b, p = lobes.diffuse_evaluate(scene, sd, w_o, spectral, variations,
-                                    mask=cls_mask)
+      fn = lambda m: lobes.diffuse_evaluate(scene, sd, w_o, spectral,
+                                            variations, mask=m)
     elif cls in _WALK_CLASSES:
-      b, p = _EVALUATORS[cls](scene, sd, w_o, spectral, mask=cls_mask)
+      fn = functools.partial(
+          lambda c, m: _EVALUATORS[c](scene, sd, w_o, spectral, mask=m), cls)
     elif cls in _EVALUATORS:
-      b, p = _EVALUATORS[cls](scene, sd, w_o, spectral)
+      fn = functools.partial(
+          lambda c, m: _EVALUATORS[c](scene, sd, w_o, spectral), cls)
     else:
       continue
+    if len(classes) > 1 and cls in _COND_CLASSES:
+      b, p = jax.lax.cond(jnp.any(cls_mask),
+                          lambda fn=fn, m=cls_mask: fn(m), lambda: zeros)
+    else:
+      b, p = fn(cls_mask)
     bsdf = jnp.where(cls_mask[..., None], b, bsdf)
     pdf = jnp.where(cls_mask, p, pdf)
   return bsdf, pdf

@@ -1,0 +1,38 @@
+"""Golden-value regression tests (SURVEY.md §4: the fixed-seed golden-image
+gate the reference lacks).
+
+RNG streams depend only on (pixel, iteration), so a fixed-seed CPU render is
+deterministic up to XLA fusion-order float drift; the tolerances below allow
+that drift while catching any estimator change. If an INTENTIONAL estimator
+change shifts these values, re-record them (the test prints actuals).
+"""
+
+import numpy as np
+
+GOLDEN_MEAN = np.array([0.12571028, 0.05596193, 0.00888113])
+GOLDEN_TOTAL = 195.1266
+GOLDEN_PROBES = {
+    (8, 8): np.array([0.0398733, 0.0, 0.0]),
+    (16, 24): np.array([0.07390688, 0.07901516, 0.00736122]),
+    (28, 4): np.array([0.0196925, 0.02221014, 0.0]),
+}
+
+
+def test_cornell_fixed_seed_golden():
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render import film as film_mod
+  from etx_tracer_tpu.scene import cornell
+
+  scene, config = cornell.build_cornell_box(
+      film_size=(32, 32), diffuse_only=True, max_path_length=6).build()
+  fs = path_tracing.render(scene, config, iterations=4)
+  img = np.asarray(film_mod.result_image(fs))
+
+  mean = img.mean(axis=(0, 1))
+  total = float(img.sum())
+  print("actual mean", repr(mean), "total", total)
+  np.testing.assert_allclose(mean, GOLDEN_MEAN, rtol=2e-3, atol=1e-5)
+  np.testing.assert_allclose(total, GOLDEN_TOTAL, rtol=2e-3)
+  for (y, x), want in GOLDEN_PROBES.items():
+    np.testing.assert_allclose(img[y, x], want, rtol=5e-3, atol=5e-4,
+                               err_msg=f"pixel ({y},{x})")

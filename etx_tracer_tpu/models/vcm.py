@@ -820,6 +820,18 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         contrib = contrib * tr_nee
       gathered = gathered + jnp.where(ok[..., None], state.throughput * contrib, 0.0)
 
+    # The connection/merge loops below evaluate the camera-vertex BSDF once
+    # per stored vertex / per scanned photon. Lanes that cannot contribute
+    # (no surface update, or a delta surface whose eval is zero by
+    # definition) get a sentinel class so the dispatcher's per-class
+    # lax.cond can skip entire expensive-lobe subgraphs when no
+    # PARTICIPATING lane carries them — e.g. caustics merges happen on
+    # diffuse floors while the only dielectric lanes sit on the (delta)
+    # glass ring.
+    participates = upd & ~bsdf_dispatch.is_delta(sd)
+    sd_eval = sd._replace(mat=sd.mat._replace(
+        cls=jnp.where(participates, sd.mat.cls, -1)))
+
     # --- lane-aligned vertex connections (vcm_connect_to_light_path) ---
     # fori_loop over stored slots: ONE traced body instead of V unrolled
     # copies (the MS-walk evals inside would otherwise explode compile time)
@@ -845,8 +857,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         dist2 = jnp.maximum(em.dot(d, d), 1e-12)
         w_o = d / jnp.sqrt(dist2)[..., None]
         # camera side
-        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
-        c_rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd_eval, w_o, spectral, classes, config.diffuse_variations)
+        c_rev = bsdf_dispatch.reverse_pdf(scene, sd_eval, w_o, spectral, classes)
         cb_val, cb_pdf, c_rev = _sss_override(cb_val, cb_pdf, c_rev, w_o)
         if config.has_media:
           # camera_at_medium: phase function replaces the BSDF
@@ -922,7 +934,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:
       mstate = state._replace(ray_o=pos)
-      merged = merge_gather(scene, grid, sd, mstate, radius, vc_weight,
+      merged = merge_gather(scene, grid, sd_eval, mstate, radius, vc_weight,
                             options, classes, spectral,
                             config.diffuse_variations,
                             exit_mask=sss_ok if config.has_subsurface else None,

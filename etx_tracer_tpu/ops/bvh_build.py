@@ -36,6 +36,58 @@ def compute_skip(node_left: np.ndarray, node_count: np.ndarray) -> np.ndarray:
   return skip
 
 
+def build_fat_rows(node_min, node_max, node_left, node_count):
+  """Fat-node stream for the Pallas traversal: inner nodes only, each row
+  carrying BOTH children's boxes (one packed read + two slab tests per
+  step instead of two separate node visits).
+
+  Row components (16): minL(3), maxL(3), minR(3), maxR(3), L_first,
+  R_first_or_start, counts = L_count*32 + R_count, skip. For an inner
+  child the count is 0 and first is its fat-row index; leaf children are
+  consumed in place (no stream entry). Returns (Ni, 16) float32 or None
+  when the root is a leaf.
+  """
+  n = len(node_left)
+  if n == 0 or node_count[0] > 0:
+    return None
+  if int(np.max(node_count)) >= 32:
+    return None  # degenerate-split fat leaves don't fit the count packing
+  inner_ids = [i for i in range(n) if node_count[i] == 0]
+  remap = {orig: new for new, orig in enumerate(inner_ids)}
+  ni = len(inner_ids)
+  rows = np.zeros((ni, 16), np.float32)
+
+  # skip over the inner-only pre-order stream
+  skip = np.zeros(ni, np.int32)
+  stack = [(0, ni)]
+  while stack:
+    orig, sk = stack.pop()
+    new = remap[orig]
+    skip[new] = sk
+    left, right = orig + 1, int(node_left[orig])
+    if node_count[left] == 0:
+      # left subtree's stream ends where the right child's begins (or at
+      # the parent's skip when the right child is a leaf)
+      stack.append((left, remap[right] if node_count[right] == 0 else sk))
+    if node_count[right] == 0:
+      stack.append((right, sk))
+
+  for orig in inner_ids:
+    new = remap[orig]
+    left, right = orig + 1, int(node_left[orig])
+    lc = int(node_count[left])
+    rc = int(node_count[right])
+    rows[new, 0:3] = node_min[left]
+    rows[new, 3:6] = node_max[left]
+    rows[new, 6:9] = node_min[right]
+    rows[new, 9:12] = node_max[right]
+    rows[new, 12] = float(node_left[left]) if lc > 0 else float(remap[left])
+    rows[new, 13] = float(node_left[right]) if rc > 0 else float(remap[right])
+    rows[new, 14] = float(lc * 32 + rc)
+    rows[new, 15] = float(skip[new])
+  return rows
+
+
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
   """Build from triangle vertices (v0, v0+e1, v0+e2). Returns dict of arrays.
 
@@ -48,6 +100,9 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
     if result is not None:
       result["node_skip"] = compute_skip(result["node_left"],
                                          result["node_count"])
+      result["fat_rows"] = build_fat_rows(
+          result["node_min"], result["node_max"],
+          result["node_left"], result["node_count"])
       return result
   except Exception:
     pass
@@ -167,4 +222,7 @@ def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray):
       "prim_index": np.asarray(out_prims if out_prims else [0], np.int32),
   }
   result["node_skip"] = compute_skip(result["node_left"], result["node_count"])
+  result["fat_rows"] = build_fat_rows(
+      result["node_min"], result["node_max"],
+      result["node_left"], result["node_count"])
   return result

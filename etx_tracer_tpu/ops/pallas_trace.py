@@ -552,6 +552,298 @@ def occluded_bvh_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   return occ.reshape(rp)[:num_r] > 0.5
 
 
+# ---------------------------------------------------------------------------
+# Fat-node stream kernels: one packed read tests BOTH children's boxes.
+# Stream entries are inner nodes only (bvh_build.build_fat_rows): descend
+# left on a left-box hit (i+1 in pre-order); leaf children's triangles are
+# consumed in place; skip offsets resume after the subtree. Halves the
+# scalar reads / reduces / loop steps of the plain node stream.
+# ---------------------------------------------------------------------------
+
+
+def _fat_step(nc, slab3, tmin, far_cap):
+  """Shared fat-row decode + both-children slab tests.
+
+  Returns (hitL, hitR, Lf, Rf, Lc, Rc, skip)."""
+  Lf = nc[12, 0].astype(jnp.int32)
+  Rf = nc[13, 0].astype(jnp.int32)
+  counts = nc[14, 0].astype(jnp.int32)
+  Lc = counts // 32
+  Rc = counts % 32
+  skip = nc[15, 0].astype(jnp.int32)
+
+  loL, hiL = slab3(nc[0, 0], nc[1, 0], nc[2, 0], nc[3, 0], nc[4, 0], nc[5, 0])
+  loR, hiR = slab3(nc[6, 0], nc[7, 0], nc[8, 0], nc[9, 0], nc[10, 0], nc[11, 0])
+  nearL = jnp.maximum(loL, tmin)
+  farL = jnp.minimum(hiL, far_cap)
+  nearR = jnp.maximum(loR, tmin)
+  farR = jnp.minimum(hiR, far_cap)
+  eps = 1e-7
+  hitL = nearL <= farL * 1.0000002 + eps
+  hitR = nearR <= farR * 1.0000002 + eps
+  return hitL, hitR, Lf, Rf, Lc, Rc, skip
+
+
+def _kernel_bvh_fat(node_ref, tri_ref,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmin_ref, tmax_ref,
+                    t_out, tri_out, u_out, v_out):
+  ox = ox_ref[...]
+  oy = oy_ref[...]
+  oz = oz_ref[...]
+  dx = dx_ref[...]
+  dy = dy_ref[...]
+  dz = dz_ref[...]
+  tmin = tmin_ref[...]
+  tmax = tmax_ref[...]
+
+  def safe_inv(x):
+    return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                           jnp.where(x < 0, -1e-20, 1e-20), x)
+
+  ivx = safe_inv(dx)
+  ivy = safe_inv(dy)
+  ivz = safe_inv(dz)
+  parx = jnp.abs(dx) < 1e-12
+  pary = jnp.abs(dy) < 1e-12
+  parz = jnp.abs(dz) < 1e-12
+
+  def slab1(par, o1, iv, mn, mx):
+    t0 = (mn - o1) * iv
+    t1 = (mx - o1) * iv
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    inside = (o1 >= mn) & (o1 <= mx)
+    big = jnp.float32(3e38)
+    lo = jnp.where(par, jnp.where(inside, -big, big), lo)
+    hi = jnp.where(par, jnp.where(inside, big, -big), hi)
+    return lo, hi
+
+  def slab3(mnx, mny, mnz, mxx, mxy, mxz):
+    lx, hx = slab1(parx, ox, ivx, mnx, mxx)
+    ly, hy = slab1(pary, oy, ivy, mny, mxy)
+    lz, hz = slab1(parz, oz, ivz, mnz, mxz)
+    return jnp.maximum(lx, jnp.maximum(ly, lz)), \
+        jnp.minimum(hx, jnp.minimum(hy, hz))
+
+  num_nodes = node_ref.shape[0] // 16 * _LANES
+
+  def cond(c):
+    return c[0] < num_nodes
+
+  def body(c):
+    i, bt, btri, bu, bv = c
+    nc = _read_packed(node_ref, i)
+    hitL, hitR, Lf, Rf, Lc, Rc, skip = _fat_step(
+        nc, slab3, tmin, jnp.minimum(tmax, bt))
+    anyL = jnp.any(hitL)
+    anyR = jnp.any(hitR)
+
+    def prim_body_from(first):
+      def prim_body(k, b):
+        bt, btri, bu, bv = b
+        row = _read_packed(tri_ref, first + k)
+        ok, t, u, v, tid = _tri_hit(row, ox, oy, oz, dx, dy, dz,
+                                    tmin, tmax, bt)
+        return (jnp.where(ok, t, bt),
+                jnp.where(ok, tid.astype(jnp.int32), btri),
+                jnp.where(ok, u, bu),
+                jnp.where(ok, v, bv))
+      return prim_body
+
+    nL = jnp.where(anyL & (Lc > 0), Lc, 0)
+    bt, btri, bu, bv = jax.lax.fori_loop(0, nL, prim_body_from(Lf),
+                                         (bt, btri, bu, bv))
+    nR = jnp.where(anyR & (Rc > 0), Rc, 0)
+    bt, btri, bu, bv = jax.lax.fori_loop(0, nR, prim_body_from(Rf),
+                                         (bt, btri, bu, bv))
+
+    descendL = anyL & (Lc == 0)
+    goR = anyR & (Rc == 0)
+    i_next = jnp.where(descendL, i + 1, jnp.where(goR, Rf, skip))
+    return i_next, bt, btri, bu, bv
+
+  init = (jnp.int32(0),
+          jnp.full(ox.shape, jnp.inf, jnp.float32),
+          jnp.full(ox.shape, -1, jnp.int32),
+          jnp.zeros(ox.shape, jnp.float32),
+          jnp.zeros(ox.shape, jnp.float32))
+  _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+  t_out[...] = bt
+  tri_out[...] = btri
+  u_out[...] = bu
+  v_out[...] = bv
+
+
+def _kernel_bvh_fat_anyhit(node_ref, tri_ref,
+                           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                           tmin_ref, tmax_ref, occ_out):
+  ox = ox_ref[...]
+  oy = oy_ref[...]
+  oz = oz_ref[...]
+  dx = dx_ref[...]
+  dy = dy_ref[...]
+  dz = dz_ref[...]
+  tmin = tmin_ref[...]
+  tmax = tmax_ref[...]
+
+  def safe_inv(x):
+    return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                           jnp.where(x < 0, -1e-20, 1e-20), x)
+
+  ivx = safe_inv(dx)
+  ivy = safe_inv(dy)
+  ivz = safe_inv(dz)
+  parx = jnp.abs(dx) < 1e-12
+  pary = jnp.abs(dy) < 1e-12
+  parz = jnp.abs(dz) < 1e-12
+
+  def slab1(par, o1, iv, mn, mx):
+    t0 = (mn - o1) * iv
+    t1 = (mx - o1) * iv
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    inside = (o1 >= mn) & (o1 <= mx)
+    big = jnp.float32(3e38)
+    lo = jnp.where(par, jnp.where(inside, -big, big), lo)
+    hi = jnp.where(par, jnp.where(inside, big, -big), hi)
+    return lo, hi
+
+  def slab3(mnx, mny, mnz, mxx, mxy, mxz):
+    lx, hx = slab1(parx, ox, ivx, mnx, mxx)
+    ly, hy = slab1(pary, oy, ivy, mny, mxy)
+    lz, hz = slab1(parz, oz, ivz, mnz, mxz)
+    return jnp.maximum(lx, jnp.maximum(ly, lz)), \
+        jnp.minimum(hx, jnp.minimum(hy, hz))
+
+  num_nodes = node_ref.shape[0] // 16 * _LANES
+  live = (tmax > 0.0).astype(jnp.float32)
+
+  def cond(c):
+    i, occ = c
+    return (i < num_nodes) & jnp.any((live - occ) > 0.5)
+
+  def body(c):
+    i, occ = c
+    nc = _read_packed(node_ref, i)
+    hitL, hitR, Lf, Rf, Lc, Rc, skip = _fat_step(nc, slab3, tmin, tmax)
+    open_ray = occ < 0.5
+    anyL = jnp.any(hitL & open_ray)
+    anyR = jnp.any(hitR & open_ray)
+
+    def prim_body_from(first):
+      def prim_body(k, occ):
+        row = _read_packed(tri_ref, first + k)
+        ok, _, _, _, _ = _tri_hit(row, ox, oy, oz, dx, dy, dz, tmin, tmax,
+                                  jnp.full(ox.shape, jnp.inf, jnp.float32))
+        return jnp.maximum(occ, ok.astype(jnp.float32))
+      return prim_body
+
+    occ = jax.lax.fori_loop(0, jnp.where(anyL & (Lc > 0), Lc, 0),
+                            prim_body_from(Lf), occ)
+    occ = jax.lax.fori_loop(0, jnp.where(anyR & (Rc > 0), Rc, 0),
+                            prim_body_from(Rf), occ)
+    descendL = anyL & (Lc == 0)
+    goR = anyR & (Rc == 0)
+    i_next = jnp.where(descendL, i + 1, jnp.where(goR, Rf, skip))
+    return i_next, occ
+
+  _, occ = jax.lax.while_loop(cond, body, (jnp.int32(0),
+                                           jnp.zeros(ox.shape, jnp.float32)))
+  occ_out[...] = occ
+
+
+def _fat_tables(bvh, tri_v0, tri_e1, tri_e2, tri_mask):
+  """Packed fat-node table + triangle table. Padded fat rows carry empty
+  boxes (finite sentinels) and skip = padded end."""
+  num_t = tri_v0.shape[0]
+  fat = bvh.fat_rows
+  ni = fat.shape[0]
+  npad = (-ni) % _LANES
+  if npad:
+    pad = jnp.zeros((npad, 16), jnp.float32)
+    pad = pad.at[:, 0:3].set(3e38).at[:, 3:6].set(-3e38)
+    pad = pad.at[:, 6:9].set(3e38).at[:, 9:12].set(-3e38)
+    pad = pad.at[:, 15].set(float(ni + npad))
+    fat = jnp.concatenate([fat, pad])
+
+  order = bvh.prim_index
+  mask = jnp.ones(num_t, jnp.float32) if tri_mask is None \
+      else tri_mask.astype(jnp.float32)
+  tri_rows = jnp.concatenate(
+      [tri_v0[order], tri_e1[order], tri_e2[order],
+       mask[order][:, None], order.astype(jnp.float32)[:, None],
+       jnp.zeros((num_t, 5), jnp.float32)], axis=1)
+  return _pack16(fat), _pack16(tri_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rb"))
+def intersect_bvh_fat_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                             tri_mask=None, interpret: bool = False,
+                             rb: int = _RB) -> Hit:
+  """Closest hit via the fat-node DFS-stream kernel."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  node_tab, tri_tab = _fat_tables(bvh, tri_v0, tri_e1, tri_e2, tri_mask)
+  planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
+
+  grid = (g // rb,)
+  kw = {"memory_space": pltpu.VMEM} if not interpret else {}
+  node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
+  tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
+  ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
+
+  out_shape = [
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.int32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+  ]
+  t, tri, u, v = pl.pallas_call(
+      _kernel_bvh_fat,
+      grid=grid,
+      in_specs=[node_spec, tri_spec] + [ray_spec] * 8,
+      out_specs=[ray_spec] * 4,
+      out_shape=out_shape,
+      interpret=interpret,
+  )(node_tab, tri_tab, *planes)
+
+  return Hit(t.reshape(rp)[:num_r], tri.reshape(rp)[:num_r],
+             u.reshape(rp)[:num_r], v.reshape(rp)[:num_r])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rb"))
+def occluded_bvh_fat_pallas(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                            tri_mask=None, interpret: bool = False,
+                            rb: int = _RB) -> jnp.ndarray:
+  """Any-hit occlusion via the fat-node DFS-stream kernel."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  node_tab, tri_tab = _fat_tables(bvh, tri_v0, tri_e1, tri_e2, tri_mask)
+  planes, rp, g = _ray_planes(o, d, t_min, t_max, num_r, rb)
+
+  grid = (g // rb,)
+  kw = {"memory_space": pltpu.VMEM} if not interpret else {}
+  node_spec = pl.BlockSpec(node_tab.shape, lambda i: (0, 0), **kw)
+  tri_spec = pl.BlockSpec(tri_tab.shape, lambda i: (0, 0), **kw)
+  ray_spec = pl.BlockSpec((rb, _LANES), lambda i: (i, 0), **kw)
+
+  occ = pl.pallas_call(
+      _kernel_bvh_fat_anyhit,
+      grid=grid,
+      in_specs=[node_spec, tri_spec] + [ray_spec] * 8,
+      out_specs=ray_spec,
+      out_shape=jax.ShapeDtypeStruct((g, _LANES), jnp.float32),
+      interpret=interpret,
+  )(node_tab, tri_tab, *planes)
+
+  return occ.reshape(rp)[:num_r] > 0.5
+
+
 def _kernel_anyhit(tri_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                    tmin_ref, tmax_ref, occ_out):
   """Occlusion-only variant: OR-accumulates a hit bit, no closest reduction

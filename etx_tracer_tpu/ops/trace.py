@@ -313,10 +313,14 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
     if prefer_brute and num_t <= _BVH_PALLAS_MIN_TRIS:
       return pallas_trace.intersect_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
-    if scene.bvh.node_skip is not None:
+    if getattr(scene.bvh, "fat_rows", None) is not None:
       # NOTE: Morton-sorting rays before the kernel was measured NET
       # NEGATIVE on v5e (argsort + permute ≈ 74 ms at 131k rays vs ≤112 ms
       # total trace): wavefront lanes already keep pixel-neighborhood order
+      return pallas_trace.intersect_bvh_fat_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o, d, t_min, t_max, tri_mask)
+    if scene.bvh.node_skip is not None:
       return pallas_trace.intersect_bvh_pallas(
           scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
           o, d, t_min, t_max, tri_mask)
@@ -340,6 +344,10 @@ def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
     if num_t <= _BVH_PALLAS_MIN_TRIS:
       return pallas_trace.occluded_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+    if getattr(scene.bvh, "fat_rows", None) is not None:
+      return pallas_trace.occluded_bvh_fat_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o, d, t_min, t_max, tri_mask)
     if scene.bvh.node_skip is not None:
       return pallas_trace.occluded_bvh_pallas(
           scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,

@@ -372,6 +372,8 @@ class SceneBuilder:
         node_count=jnp.asarray(bvh_arrays["node_count"]),
         prim_index=jnp.asarray(bvh_arrays["prim_index"]),
         node_skip=jnp.asarray(bvh_arrays["node_skip"]),
+        fat_rows=(jnp.asarray(bvh_arrays["fat_rows"])
+                  if bvh_arrays.get("fat_rows") is not None else None),
     )
 
     emitters = st.Emitters(

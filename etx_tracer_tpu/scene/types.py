@@ -172,6 +172,9 @@ class BVH(NamedTuple):
   # skip offsets for stream traversal: first pre-order node NOT in subtree(i)
   # (root skip = N). Host-computed; drives the Pallas DFS-stream kernel.
   node_skip: Optional[jnp.ndarray] = None  # (N,) int32
+  # fat-node stream (inner nodes only, both children's boxes per row) for
+  # the Pallas traversal — bvh_build.build_fat_rows layout
+  fat_rows: Optional[jnp.ndarray] = None  # (Ni, 16) float32
 
 
 class DeviceScene(NamedTuple):

@@ -99,6 +99,99 @@ class TestIntersect:
       i = i + 1 if count[i] == 0 else skip[i]
     assert visited == n
 
+  def test_fat_rows_structure(self):
+    """Fat-node stream invariants: every leaf consumed exactly once on a
+    full walk; numpy fat-stream tracer agrees with the exhaustive scan."""
+    import numpy as np
+    v0, e1, e2 = _random_tris(300)
+    arr = bvh_build.build_bvh(v0, e1, e2)
+    fat = arr["fat_rows"]
+    assert fat is not None
+    prim, count = arr["prim_index"], arr["node_count"]
+    ni = fat.shape[0]
+
+    # walk descending everywhere: collected leaf ranges == all tree leaves
+    leaves = []
+    i = 0
+    visited = 0
+    while i < ni:
+      visited += 1
+      lf, rf = int(fat[i, 12]), int(fat[i, 13])
+      cpack = int(fat[i, 14])
+      lc, rc = cpack // 32, cpack % 32
+      if lc > 0:
+        leaves.append((lf, lc))
+      if rc > 0:
+        leaves.append((rf, rc))
+      i = i + 1 if lc == 0 else (rf if rc == 0 else int(fat[i, 15]))
+    assert visited == ni
+    ref_leaves = sorted((int(arr["node_left"][j]), int(count[j]))
+                        for j in range(len(count)) if count[j] > 0)
+    assert sorted(leaves) == ref_leaves
+
+    # numpy fat tracer vs scan on a few rays
+    rs = np.random.RandomState(5)
+    R = 24
+    o = rs.randn(R, 3).astype(np.float32) * 2
+    d = rs.randn(R, 3).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ref = trace.intersect_scan(jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2),
+                               jnp.asarray(o), jnp.asarray(d),
+                               jnp.zeros(R), jnp.full(R, 100.0))
+    rt = np.asarray(ref.t)
+
+    def slab_hit(mn, mx, o1, iv, par, tmin, tmax):
+      t0 = (mn - o1) * iv
+      t1 = (mx - o1) * iv
+      lo = np.minimum(t0, t1)
+      hi = np.maximum(t0, t1)
+      inside = (o1 >= mn) & (o1 <= mx)
+      lo = np.where(par, np.where(inside, -3e38, 3e38), lo)
+      hi = np.where(par, np.where(inside, 3e38, -3e38), hi)
+      return max(lo.max(), tmin) <= min(hi.min(), tmax) * 1.0000002 + 1e-7
+
+    def fat_one(o1, d1, tmin=0.0, tmax=100.0):
+      iv = 1.0 / np.where(np.abs(d1) < 1e-20,
+                          np.where(d1 < 0, -1e-20, 1e-20), d1)
+      par = np.abs(d1) < 1e-12
+      i, bt = 0, np.inf
+      while i < ni:
+        row = fat[i]
+        hitL = slab_hit(row[0:3], row[3:6], o1, iv, par, tmin, min(tmax, bt))
+        hitR = slab_hit(row[6:9], row[9:12], o1, iv, par, tmin, min(tmax, bt))
+        lf, rf = int(row[12]), int(row[13])
+        cpack = int(row[14])
+        lc, rc = cpack // 32, cpack % 32
+        for first, n_tris, h in ((lf, lc, hitL), (rf, rc, hitR)):
+          if n_tris == 0 or not h:
+            continue
+          for k in range(n_tris):
+            orig = prim[first + k]
+            vv0, ee1, ee2 = v0[orig], e1[orig], e2[orig]
+            px = np.cross(d1, ee2)
+            det = px @ ee1
+            if abs(det) <= 1e-9:
+              continue
+            inv = 1.0 / det
+            tx = o1 - vv0
+            u = tx @ px * inv
+            q = np.cross(tx, ee1)
+            w = q @ d1 * inv
+            t = q @ ee2 * inv
+            if u >= 0 and w >= 0 and u + w <= 1 and tmin <= t <= tmax and t < bt:
+              bt = t
+        if hitL and lc == 0:
+          i = i + 1
+        elif hitR and rc == 0:
+          i = rf
+        else:
+          i = int(row[15])
+      return bt
+
+    for j in range(R):
+      ft = fat_one(o[j], d[j])
+      assert np.isclose(min(rt[j], 1e9), min(ft, 1e9), rtol=1e-4), (j, rt[j], ft)
+
   def test_stream_traversal_matches_scan(self):
     """Numpy model of the Pallas DFS-stream kernel (skip walk + robust
     parallel-axis slabs) agrees with the exhaustive scan."""

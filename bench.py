@@ -1,9 +1,14 @@
 #!/usr/bin/env python
-"""Headline benchmark: Cornell-box PT trace+shade throughput (Mrays/s/chip).
+"""Driver benchmark: one JSON line per BASELINE.md config.
+
+Line 1 (headline, parsed by the driver): Cornell-box PT trace+shade
+throughput in Mrays/s/chip, vs_baseline = value / 100 Mrays/s (the
+BASELINE.md north-star target). Subsequent lines cover the remaining
+baseline configs (materials/atmosphere spectral PT, volumetric BDPT,
+caustics VCM, bigscene) so every pillar gets a recorded number
+(VERDICT round-1 item 4).
 
 Runs on whatever accelerator jax picks (one TPU chip under the driver).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 100 Mrays/s (the BASELINE.md north-star target).
 """
 
 import json
@@ -13,9 +18,17 @@ import jax
 import numpy as np
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline):
+  print(json.dumps({
+      "metric": metric,
+      "value": round(value, 4),
+      "unit": unit,
+      "vs_baseline": round(vs_baseline, 4),
+  }), flush=True)
+
+
+def bench_cornell_pt():
   from etx_tracer_tpu.models import path_tracing
-  from etx_tracer_tpu.render import film as film_mod
   from etx_tracer_tpu.scene import cornell
 
   size = 512
@@ -43,13 +56,93 @@ def main():
   mrays = total_rays / dt / 1e6
   img = np.asarray(path_tracing.finalize_film(sums, iters).camera)
   assert np.isfinite(img).all(), "benchmark render produced non-finite values"
+  _emit("cornell_pt_trace_shade_throughput", mrays, "Mrays/s/chip",
+        mrays / 100.0)
 
-  print(json.dumps({
-      "metric": "cornell_pt_trace_shade_throughput",
-      "value": round(mrays, 3),
-      "unit": "Mrays/s/chip",
-      "vs_baseline": round(mrays / 100.0, 4),
-  }))
+
+def _pt_mrays(builder, iters=4, reps=2):
+  from etx_tracer_tpu.models import path_tracing
+  scene, config = builder.build()
+  sums, rays = path_tracing.render_samples_static(scene, config, 0, iters)
+  jax.block_until_ready(sums.table)
+  float(rays)
+  t0 = time.time()
+  total = 0.0
+  for rep in range(1, 1 + reps):
+    sums, rays = path_tracing.render_samples_static(scene, config, rep, iters)
+    total += float(rays)
+  dt = time.time() - t0
+  img = np.asarray(path_tracing.finalize_film(sums, iters).camera)
+  assert np.isfinite(img).all()
+  return total / dt / 1e6
+
+
+def bench_materials():
+  """Config 2: conductor/dielectric/thinfilm showcase, spectral."""
+  from benchmarks import scenes
+  mrays = _pt_mrays(scenes.materials((256, 256)))
+  _emit("materials_spectral_pt_throughput", mrays, "Mrays/s/chip",
+        mrays / 100.0)
+
+
+def bench_atmosphere():
+  """Config 3: atmosphere sun/sky + DOF, spectral."""
+  from benchmarks import scenes
+  mrays = _pt_mrays(scenes.atmosphere_scene((256, 256)))
+  _emit("atmosphere_spectral_pt_throughput", mrays, "Mrays/s/chip",
+        mrays / 100.0)
+
+
+def _vcm_step_seconds(builder, options, reps=3):
+  from etx_tracer_tpu.models import vcm
+  from etx_tracer_tpu.render import film as film_mod
+  scene, config = builder.build()
+  fs = film_mod.allocate(config.film_width, config.film_height)
+  fs = vcm.render_iteration(scene, config, options, fs, 0)  # compile
+  jax.block_until_ready(fs.camera)
+  t0 = time.time()
+  for i in range(1, 1 + reps):
+    fs = vcm.render_iteration(scene, config, options, fs, i)
+    float(np.asarray(fs.iteration))  # host transfer forces completion
+  dt = (time.time() - t0) / reps
+  img = np.asarray(film_mod.result_image(fs))
+  assert np.isfinite(img).all()
+  return dt
+
+
+def bench_volumetric():
+  """Config 4: homogeneous fog BDPT (volumetric bidirectional)."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import vcm
+  dt = _vcm_step_seconds(scenes.volumetric((256, 256)), vcm.bdpt_options())
+  # vs_baseline: speedup over the round-1 recorded ~0.3 s VCM camera step
+  # at 16k lanes (PARITY.md) scaled to this lane count (65k lanes -> 1.2 s)
+  _emit("volumetric_bdpt_step_time", dt, "s/iteration", 1.2 / max(dt, 1e-9))
+
+
+def bench_caustics():
+  """Config 5: SDS caustics, full VCM connect+merge, spectral."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import vcm
+  dt = _vcm_step_seconds(scenes.caustics((256, 256)), vcm.VCMOptions())
+  _emit("caustics_vcm_step_time", dt, "s/iteration", 1.2 / max(dt, 1e-9))
+
+
+def bench_bigscene():
+  """15k-triangle scene through the fat-node Pallas BVH kernels."""
+  from benchmarks import scenes
+  mrays = _pt_mrays(scenes.bigscene((256, 256)))
+  _emit("bigscene_pt_throughput", mrays, "Mrays/s/chip", mrays / 100.0)
+
+
+def main():
+  bench_cornell_pt()  # headline first (driver parses line 1)
+  for fn in (bench_materials, bench_atmosphere, bench_volumetric,
+             bench_caustics, bench_bigscene):
+    try:
+      fn()
+    except Exception as e:  # keep the remaining configs running
+      print(json.dumps({"metric": fn.__name__, "error": str(e)}), flush=True)
 
 
 if __name__ == "__main__":

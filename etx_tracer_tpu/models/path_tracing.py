@@ -62,19 +62,28 @@ class PTState(NamedTuple):
   res_valid: jnp.ndarray    # (R,) bool
 
 
-def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
+def make_lane_payload(scene, config, sample_ids, end_sample,
+                      row_offset=0, full_height: int | None = None) -> PTState:
   """Per-lane payload for arbitrary sample ids (pixel, iteration) pairs.
 
   sample_id s maps to pixel s % (W*H) and iteration s // (W*H); lanes with
   s >= end_sample start dead (pool tail). Seeding matches the reference:
   rng = tea(pixel_index, iteration) (path_tracing_shared.hxx:238-257), so
   results are independent of pool scheduling.
+
+  row_offset/full_height: when the film is a horizontal band of a larger
+  sharded film, row_offset (possibly traced — lax.axis_index) shifts the
+  pixel ids to GLOBAL film ids for RNG seeding and camera UVs, so each
+  shard reproduces exactly the lanes the single-device render produces.
   """
   w, h = config.film_width, config.film_height
+  if full_height is None:
+    full_height = h
   npix = w * h
   r = sample_ids.shape[0]
   c = spx.channels(config.spectral)
-  pixel_index = (sample_ids % npix).astype(jnp.uint32)
+  pixel_index = ((sample_ids % npix).astype(jnp.uint32)
+                 + jnp.uint32(row_offset) * jnp.uint32(w))
   iteration = (sample_ids // npix).astype(jnp.uint32)
   state = rng.seed(pixel_index, iteration)
 
@@ -91,7 +100,7 @@ def make_lane_payload(scene, config, sample_ids, end_sample) -> PTState:
   # iterations use the Blackman-Harris pixel filter (film.cxx:63-67)
   jitter = jnp.where((iteration == 0)[..., None], 0.0,
                      camera_mod.blackman_harris_jitter(jit_rnd))
-  uv = camera_mod.film_uv(px, py, w, h, jitter)
+  uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   state, lens_rnd = rng.next_2d(state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
                                  equirectangular=config.equirectangular)
@@ -927,8 +936,12 @@ def render_adaptive(scene, config, max_iterations: int | None = None,
 
 @functools.partial(jax.jit, static_argnames=("config", "num_iterations", "pool_size"))
 def render_samples_static(scene, config, first_iteration, num_iterations: int,
-                          pool_size: int = 1 << 17, unroll: int = 4):
+                          pool_size: int = 1 << 17, unroll: int = 4,
+                          row_offset=0, full_height: int | None = None):
   """Pool with static lane->pixel ownership; returns (FilmSums, rays).
+
+  row_offset/full_height: band rendering for the sharded path — see
+  make_lane_payload. The returned FilmSums table stays band-local.
 
   unroll: pt_steps per while_loop iteration. Top-level loop iterations carry
   a large fixed dispatch overhead (~0.5 ms/iter through the device tunnel,
@@ -1024,7 +1037,8 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
       has_more = new_counter < per_lane
       fresh = make_lane_payload(scene, config,
                                 ids_for(jnp.minimum(new_counter, per_lane - 1)),
-                                jnp.int32(2 ** 30))
+                                jnp.int32(2 ** 30),
+                                row_offset=row_offset, full_height=full_height)
       regen = died & has_more
 
       def pick(f, o):
@@ -1090,7 +1104,8 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
   init_it = first_iteration + (lane0 // p_base) * n_lane
   state = make_lane_payload(
       scene, config,
-      init_it * npix + (lane0 % p_base), jnp.int32(2 ** 30))
+      init_it * npix + (lane0 % p_base), jnp.int32(2 ** 30),
+      row_offset=row_offset, full_height=full_height)
   counter = jnp.zeros(p, jnp.int32)
   lanes = lane0
   pend_meta = jnp.zeros((p, 2), jnp.float32)

@@ -135,11 +135,18 @@ def _shading_data(scene, state, pos, nrm, tan, btn, uv, mat):
 # ---------------------------------------------------------------------------
 
 
-def _generate_light_state(scene, config, n_paths, iteration, vc_weight):
-  """vcm_generate_emitter_state (vcm_shared.hxx:310-349)."""
+def _generate_light_state(scene, config, n_paths, iteration, vc_weight,
+                          path_offset=0, n_valid=None):
+  """vcm_generate_emitter_state (vcm_shared.hxx:310-349).
+
+  path_offset: shift to GLOBAL light-path ids (sharded light pass — each
+  device traces a slice of the path population with the same seeds the
+  single-device pass would use). n_valid: global path count; paths with
+  global id >= n_valid start dead (uneven-shard padding).
+  """
   r = n_paths
   c = spx.channels(config.spectral)
-  idx = jnp.arange(r, dtype=jnp.uint32)
+  idx = jnp.arange(r, dtype=jnp.uint32) + jnp.uint32(path_offset)
   state = rng.seed(idx, jnp.full(r, iteration, jnp.uint32))
   state, wl_rnd = rng.next_float(state)
   wl = spmod.sample_wavelength(wl_rnd) if config.spectral else jnp.zeros(r)
@@ -153,6 +160,8 @@ def _generate_light_state(scene, config, n_paths, iteration, vc_weight):
   denom = es.pdf_dir * es.pdf_area * es.pdf_sample
   throughput = es.value * (cos_t / jnp.maximum(denom, 1e-20))[..., None]
   valid = (es.pdf_dir > 0.0) & (cos_t > 0.0)
+  if n_valid is not None:
+    valid = valid & (idx < jnp.uint32(n_valid))
 
   origin = jnp.where(
       (es.triangle_index >= 0)[..., None],
@@ -178,23 +187,40 @@ def _generate_light_state(scene, config, n_paths, iteration, vc_weight):
 
 
 def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
-               vc_weight, vm_weight):
-  """Trace light subpaths; returns (vertices, light film splat uv+values, rng)."""
+               vc_weight, vm_weight, path_offset=0, n_valid=None,
+               splat_shape=None):
+  """Trace light subpaths; returns (vertices, splat image, rng state).
+
+  The walk runs to config.max_path_length under a while_loop with an
+  any-alive early exit — path depth is NOT capped by vertex storage
+  (reference parity: bidirectional.cxx:273-317 stores every vertex; here
+  only the first max_stored_vertices are kept for camera-side connections,
+  while deeper bounces keep contributing through connect-to-camera splats,
+  direct hits and merging). Splats scatter straight into a film-sized
+  image per bounce instead of per-slot buffers, so their count is
+  unbounded too.
+
+  splat_shape: (image_rows, true_film_height) — the splat image row count
+  (padded for sharding) and the TRUE film height driving the NDC->pixel
+  mapping. Defaults to (config.film_height,) * 2.
+  """
   spectral = config.spectral
   classes = config.material_classes
   c = spx.channels(spectral)
   v_slots = options.max_stored_vertices
-  state = _generate_light_state(scene, config, n_paths, iteration, vc_weight)
+  state = _generate_light_state(scene, config, n_paths, iteration, vc_weight,
+                                path_offset=path_offset, n_valid=n_valid)
   verts = _alloc_vertices(n_paths, v_slots, c)
-  splat_uv = jnp.zeros((n_paths, v_slots, 2))
-  splat_val = jnp.zeros((n_paths, v_slots, 3))
+  img_rows, true_h = splat_shape or (config.film_height, config.film_height)
+  film_w = config.film_width
+  splat_img = jnp.zeros((img_rows, film_w, 3))
 
-  max_depth = min(config.max_path_length, v_slots)
+  max_depth = config.max_path_length
 
   base_scene = scene
 
-  def body(slot, carry):
-    state, verts, splat_uv, splat_val = carry
+  def body(carry):
+    slot, state, verts, splat_img = carry
     r = n_paths
     scene = base_scene
     if spectral:
@@ -254,7 +280,12 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     sd = sd._replace(geo_n=trows.geo_n)
 
     is_delta_mat = bsdf_dispatch.is_delta(sd)
-    store = (upd & ~is_delta_mat) | medium_event
+    # storable: a physical connectable vertex (non-delta surface or medium
+    # event). Storage additionally requires a free slot; camera connections
+    # do NOT (deep vertices splat even when the slot array is full).
+    storable = (upd & ~is_delta_mat) | medium_event
+    store = storable & (slot < v_slots)
+    vslot = jnp.minimum(slot, v_slots - 1)
 
     def msel(surf_v, med_v):
       m = medium_event
@@ -268,7 +299,7 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
       m = store
       while m.ndim < value.ndim:
         m = m[..., None]
-      return field.at[:, slot].set(jnp.where(m, value, field[:, slot]))
+      return field.at[:, vslot].set(jnp.where(m, value, field[:, vslot]))
 
     zero3 = jnp.zeros((r, 3))
     verts = LightVertices(
@@ -336,17 +367,30 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     contrib = bsdf_val * state.throughput * (cam.weight * mis_w * fix)[..., None]
     if config.has_media:
       contrib = contrib * tr_con
-    can_connect = (store & options.connect_to_camera & cam.valid & ~occluded
+    can_connect = (storable & options.connect_to_camera & cam.valid & ~occluded
                    & (state.path_depth + 2 <= config.max_path_length))
     if config.has_media:
       # explicit connections from media gated per medium (med.enable_explicit)
       can_connect = can_connect & jnp.where(medium_event,
                                             mv.explicit_connections, True)
     rgb = spx.to_film_rgb(contrib, state.wl, spectral)
-    n_img = float(n_paths)
-    rgb = rgb / n_img * (config.film_width * config.film_height)
-    splat_uv = splat_uv.at[:, slot].set(jnp.where(can_connect[..., None], cam.uv, -2.0))
-    splat_val = splat_val.at[:, slot].set(jnp.where(can_connect[..., None], rgb, 0.0))
+    # normalization: splats average over light paths, scaled back to
+    # per-pixel units (film.cxx:332-343 commit divides by iterations only;
+    # each iteration traces n_paths paths for a film of w*h_local pixels —
+    # sharded shards keep the same 1:1 path:pixel ratio so the factor
+    # matches the single-device one)
+    rgb = rgb / float(n_paths) * (config.film_width * config.film_height)
+    # scatter-add this bounce's splats into the film image (the TPU form of
+    # film.cxx:147-171 atomic_add_float; per-bounce so splat count is
+    # unbounded by vertex storage)
+    suv = cam.uv * 0.5 + 0.5
+    sx = (suv[..., 0] * film_w).astype(jnp.int32)
+    sy = (suv[..., 1] * true_h).astype(jnp.int32)
+    s_ok = can_connect & (sx >= 0) & (sx < film_w) & (sy >= 0) & (sy < img_rows)
+    sx = jnp.clip(sx, 0, film_w - 1)
+    sy = jnp.clip(sy, 0, img_rows - 1)
+    splat_img = splat_img.at[sy, sx].add(
+        jnp.where(s_ok[..., None], rgb, 0.0))
 
     # --- bsdf sample + vcm_next_ray (:219-283) ---
     rng_state, rnd_bsdf = rng.next_n(rng_state, bsdf_dispatch.NUM_SAMPLE_RND)
@@ -420,11 +464,15 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
                         jnp.where(is_boundary, state.alive, surf_alive)))
-    return state, verts, splat_uv, splat_val
+    return slot + 1, state, verts, splat_img
 
-  state, verts, splat_uv, splat_val = jax.lax.fori_loop(
-      0, max_depth, body, (state, verts, splat_uv, splat_val))
-  return verts, splat_uv, splat_val, state
+  def cond(carry):
+    slot, state, _, _ = carry
+    return (slot < max_depth) & jnp.any(state.alive)
+
+  _, state, verts, splat_img = jax.lax.while_loop(
+      cond, body, (jnp.int32(0), state, verts, splat_img))
+  return verts, splat_img, state
 
 
 # ---------------------------------------------------------------------------
@@ -591,16 +639,24 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
 
 
 def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVertices,
-                grid, radius, vc_weight, vm_weight, vm_normalization):
+                grid, radius, vc_weight, vm_weight, vm_normalization,
+                pixel_offset=0, full_height: int | None = None):
   """Camera subpaths with direct hit / NEE / vertex connections / merging
-  (vcm_camera_step, vcm_shared.hxx:927-1079)."""
+  (vcm_camera_step, vcm_shared.hxx:927-1079).
+
+  pixel_offset/full_height: band rendering for the sharded path — pixel ids
+  shift to GLOBAL film ids for RNG seeding, lane-aligned light-path pairing
+  and camera UVs, so each shard reproduces the single-device lanes.
+  """
   spectral = config.spectral
   classes = config.material_classes
   w, h = config.film_width, config.film_height
+  if full_height is None:
+    full_height = h
   r = w * h
   c = spx.channels(spectral)
 
-  idx = jnp.arange(r, dtype=jnp.uint32)
+  idx = jnp.arange(r, dtype=jnp.uint32) + jnp.uint32(pixel_offset)
   rng_state = rng.seed(idx + jnp.uint32(0x9E3779B9), jnp.full(r, iteration, jnp.uint32))
   rng_state, wl_rnd = rng.next_float(rng_state)
   wl = spmod.sample_wavelength(wl_rnd) if spectral else jnp.zeros(r)
@@ -617,7 +673,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   # image for every integrator, film.cxx:137-145)
   jitter = jnp.where(iteration == 0, 0.0,
                      camera_mod.blackman_harris_jitter(jit_rnd))
-  uv = camera_mod.film_uv(px, py, w, h, jitter)
+  uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   rng_state, lens_rnd = rng.next_2d(rng_state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
                                  equirectangular=config.equirectangular)
@@ -633,12 +689,15 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool))
 
   merged_total = jnp.zeros((r, 3))
-  max_depth = min(config.max_path_length, options.max_stored_vertices + 2)
+  # the camera walk runs to the FULL path length budget — not capped by
+  # vertex storage (ref default 1023, scene.hxx:41-46); the while_loop's
+  # any-alive early exit makes deep budgets free once RR kills the tail
+  max_depth = config.max_path_length
 
   base_scene = scene
 
-  def body(step, carry):
-    state, merged_total = carry
+  def body(carry):
+    step, state, merged_total = carry
     scene = base_scene
     if spectral:
       from etx_tracer_tpu.core import spectrum as sp_mod
@@ -1017,9 +1076,14 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
                         jnp.where(is_boundary, state.alive, surf_alive)))
-    return state, merged_total
+    return step + 1, state, merged_total
 
-  state, merged_total = jax.lax.fori_loop(0, max_depth, body, (state, merged_total))
+  def loop_cond(carry):
+    step, state, _ = carry
+    return (step < max_depth) & jnp.any(state.alive)
+
+  _, state, merged_total = jax.lax.while_loop(
+      loop_cond, body, (jnp.int32(0), state, merged_total))
 
   gathered_rgb = spx.to_film_rgb(state.gathered, state.wl, spectral)
   return gathered_rgb + merged_total * vm_normalization
@@ -1044,7 +1108,7 @@ def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
   vm_weight = eta_vcm if options.enable_merging else 0.0
   vm_normalization = 1.0 / eta_vcm
 
-  verts, splat_uv, splat_val, l_state = light_pass(
+  verts, splat_img, l_state = light_pass(
       scene, config, options, iteration, npix, vc_weight, vm_weight)
 
   grid = build_merge_grid(scene, verts, l_state.wl, radius, config.spectral) \
@@ -1053,11 +1117,9 @@ def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
   camera_rgb = camera_pass(scene, config, options, iteration, verts, grid,
                            radius, vc_weight, vm_weight, vm_normalization)
 
-  # splat light-tracing contributions, then fold the iteration
-  film_state = film_mod.splat_light(
-      film_state,
-      splat_uv.reshape(-1, 2),
-      splat_val.reshape(-1, 3))
+  # fold this iteration's light-tracing splat image
+  film_state = film_state._replace(
+      light_iteration=film_state.light_iteration + splat_img)
   film_state = film_mod.commit_light_iteration(film_state)
   colors = camera_rgb.reshape(h, w, 3)
   zero = jnp.zeros((h, w, 3))

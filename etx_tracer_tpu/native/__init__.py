@@ -17,7 +17,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libetx_native.so")
-_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "blosc_decoder.cpp"]
+_SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "blosc_decoder.cpp",
+            "alias_builder.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -60,8 +61,29 @@ def load():
     lib.etx_obj_material_name.restype = ctypes.c_int32
     lib.etx_obj_mtllib.restype = ctypes.c_int32
     lib.etx_blosc_decompress.restype = ctypes.c_int64
+    lib.etx_alias_build.restype = ctypes.c_int32
     _lib = lib
     return _lib
+
+
+def build_alias_tables(p: "np.ndarray"):
+  """Batched Vose alias construction: p (rows, n) -> (prob, alias) or None
+  when the native library is unavailable."""
+  lib = load()
+  if lib is None:
+    return None
+  p = np.ascontiguousarray(p, np.float32)
+  rows, n = p.shape
+  prob = np.zeros((rows, n), np.float32)
+  alias = np.zeros((rows, n), np.int32)
+  rc = lib.etx_alias_build(
+      p.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      ctypes.c_int32(rows), ctypes.c_int32(n),
+      prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+      alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+  if rc != 0:
+    return None
+  return prob, alias
 
 
 def blosc_decompress(data: bytes, nbytes: int) -> bytes | None:

@@ -266,6 +266,17 @@ def intersect_bvh(bvh, tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
 # O(T) brute becomes hopeless)
 _BVH_PALLAS_MIN_TRIS = 4096
 
+# The packed Pallas BVH tables encode triangle ids / node offsets as
+# float32, exact only below 2^24: larger scenes would silently corrupt hit
+# ids, so the dispatch falls back to the int32 per-ray-stack traversal
+# (ADVICE round-1 item).
+_PALLAS_ID_LIMIT = 1 << 24
+
+
+def _pallas_ids_exact(scene, num_t: int) -> bool:
+  nodes = scene.bvh.node_min.shape[0] if scene.bvh is not None else 0
+  return num_t < _PALLAS_ID_LIMIT and nodes < _PALLAS_ID_LIMIT
+
 
 def _spread3(x):
   """Spread 10 bits to every third bit (Morton interleave)."""
@@ -309,7 +320,7 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
   DFS-stream BVH kernel beyond, XLA per-ray-stack BVH as the fallback."""
   num_t = scene.tri_v0.shape[0]
   from etx_tracer_tpu.ops import pallas_trace
-  if pallas_trace.available():
+  if pallas_trace.available() and _pallas_ids_exact(scene, num_t):
     if prefer_brute and num_t <= _BVH_PALLAS_MIN_TRIS:
       return pallas_trace.intersect_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
@@ -340,7 +351,7 @@ def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
   variant."""
   num_t = scene.tri_v0.shape[0]
   from etx_tracer_tpu.ops import pallas_trace
-  if pallas_trace.available():
+  if pallas_trace.available() and _pallas_ids_exact(scene, num_t):
     if num_t <= _BVH_PALLAS_MIN_TRIS:
       return pallas_trace.occluded_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)

@@ -7,4 +7,6 @@ wavefront step on its film slice, and cross-device reductions (light-image
 psum, adaptive-sampling stats) ride ICI via XLA collectives.
 """
 
-from etx_tracer_tpu.parallel.mesh import make_mesh, render_iteration_sharded  # noqa: F401
+from etx_tracer_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, render_iteration_sharded, render_samples_sharded,
+    vcm_render_iteration_sharded)

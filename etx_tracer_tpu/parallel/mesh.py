@@ -32,9 +32,12 @@ def shard_film(film_state: film_mod.FilmState, mesh: Mesh) -> film_mod.FilmState
   sharding = NamedSharding(mesh, P("pixels"))
   scalar = NamedSharding(mesh, P())
 
+  n_dev = mesh.devices.size
+
   def place(x):
-    if x.ndim >= 2:
+    if x.ndim >= 2 and x.shape[0] % n_dev == 0:
       return jax.device_put(x, sharding)
+    # uneven row counts are padded (and re-sharded) inside the render call
     return jax.device_put(x, scalar)
 
   return jax.tree_util.tree_map(place, film_state)
@@ -45,16 +48,41 @@ def replicate_scene(scene, mesh: Mesh):
   return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), scene)
 
 
+def _pad_rows(film_state: film_mod.FilmState, h_pad: int) -> film_mod.FilmState:
+  """Zero-pad film row axis to h_pad (uneven-shard support)."""
+  def pad(x):
+    if getattr(x, "ndim", 0) >= 2:
+      return jnp.pad(x, [(0, h_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+    return x
+  return jax.tree_util.tree_map(pad, film_state)
+
+
+def _crop_rows(film_state: film_mod.FilmState, h: int) -> film_mod.FilmState:
+  def crop(x):
+    if getattr(x, "ndim", 0) >= 2:
+      return x[:h]
+    return x
+  return jax.tree_util.tree_map(crop, film_state)
+
+
 def render_iteration_sharded(scene, config, film_state, iteration, mesh: Mesh):
   """One sharded film iteration: each device renders its row slice.
 
   Uses shard_map so each device traces only its own pixel rows; the scene
-  is replicated. The per-shard config narrows the film height.
+  is replicated. The per-shard config narrows the film height. Film heights
+  not divisible by the device count are zero-padded (padded rows render
+  off-film rays whose results are cropped away).
   """
   n_dev = mesh.devices.size
   h = config.film_height
-  assert h % n_dev == 0, f"film height {h} must divide device count {n_dev}"
-  local_config = dataclasses.replace(config, film_height=h // n_dev)
+  h_pad = ((h + n_dev - 1) // n_dev) * n_dev
+  if h_pad != h:
+    # uneven shards: pad the film row axis; padded rows trace off-film rays
+    # (v >= 1, still well-defined) whose results are cropped away. The TRUE
+    # height keeps driving the camera UV mapping and the RNG pixel ids, so
+    # visible rows match the unpadded render bitwise.
+    film_state = shard_film(_pad_rows(film_state, h_pad), mesh)
+  local_config = dataclasses.replace(config, film_height=h_pad // n_dev)
 
   def shard_fn(scene_rep, film_shard, it):
     axis = jax.lax.axis_index("pixels")
@@ -68,7 +96,123 @@ def render_iteration_sharded(scene, config, film_state, iteration, mesh: Mesh):
       in_specs=(P(), _film_spec(), P()),
       out_specs=_film_spec(),
       check_vma=False)
-  return fn(scene, film_state, iteration)
+  out = fn(scene, film_state, iteration)
+  return _crop_rows(out, h) if h_pad != h else out
+
+
+def render_samples_sharded(scene, config, first_iteration, num_iterations: int,
+                           mesh: Mesh, pool_size: int = 1 << 17):
+  """Production pooled renderer (render_samples_static) over the mesh.
+
+  Each device runs the full cascade pool on its film row band with GLOBAL
+  per-pixel RNG seeds, so the result matches the single-device pool exactly.
+  Returns (FilmSums over the full film, total rays traced — psum'd).
+  """
+  n_dev = mesh.devices.size
+  w, h = config.film_width, config.film_height
+  h_pad = ((h + n_dev - 1) // n_dev) * n_dev
+  local_h = h_pad // n_dev
+  local_config = dataclasses.replace(config, film_height=local_h)
+  local_pool = min(pool_size, max(4096, local_h * w))
+
+  def shard_fn(scene_rep):
+    axis = jax.lax.axis_index("pixels")
+    sums, rays = path_tracing.render_samples_static(
+        scene_rep, local_config, first_iteration, num_iterations,
+        pool_size=local_pool, row_offset=axis * local_h, full_height=h)
+    return sums, jax.lax.psum(rays, "pixels")
+
+  fn = jax.shard_map(
+      shard_fn, mesh=mesh,
+      in_specs=(P(),),
+      out_specs=(path_tracing.FilmSums(table=P("pixels")), P()),
+      check_vma=False)
+  sums, rays = fn(scene)
+  if h_pad != h:
+    sums = path_tracing.FilmSums(table=sums.table[: h * w])
+  return sums, rays
+
+
+def vcm_render_iteration_sharded(scene, config, options, film_state,
+                                 iteration: int, mesh: Mesh):
+  """One sharded VCM iteration: light paths and camera pixels both shard
+  across the mesh; light-tracing splats cross shards via a psum collective;
+  the merge grid is built from an all_gather of every shard's light vertices.
+
+  Mapping to the reference (SURVEY §2.7): the psum replaces
+  atomic_add_float splats into the shared light image (film.cxx:147-171);
+  the all_gather replaces every thread reading the one shared
+  VCMSpatialGrid (vcm_shared.cxx:49-152). Lane-aligned vertex connections
+  need no communication at all: camera pixel i connects to light path i
+  (vcm_cpu.cxx light_paths[state.global_index]), and each shard traces
+  exactly the light-path slice whose ids match its own camera band.
+
+  Matches the single-device vcm.render_iteration estimator exactly: global
+  RNG seeds, TRUE-film-pixel-count normalization, padded rows masked out.
+  """
+  from etx_tracer_tpu.models import vcm as vcm_mod
+
+  n_dev = mesh.devices.size
+  w, h = config.film_width, config.film_height
+  h_pad = ((h + n_dev - 1) // n_dev) * n_dev
+  local_h = h_pad // n_dev
+  if h_pad != h:
+    film_state = shard_film(_pad_rows(film_state, h_pad), mesh)
+  local_config = dataclasses.replace(config, film_height=local_h)
+  local_npix = local_h * w
+  npix = w * h  # TRUE pixel count drives the estimator normalization
+
+  # radius schedule (vcm_cpu.cxx:95-113), computed host-side per iteration
+  radius0 = (options.initial_radius if options.initial_radius > 0.0
+             else 5.0 * float(scene.bsphere_radius) / float(max(w, h)))
+  radius = radius0 / (1.0 + iteration / options.radius_decay)
+  eta_vcm = 3.141592653589793 * radius * radius * npix
+  vc_weight = 1.0 / eta_vcm
+  vm_weight = eta_vcm if options.enable_merging else 0.0
+  vm_normalization = 1.0 / eta_vcm
+
+  def shard_fn(scene_rep, film_shard, it):
+    axis = jax.lax.axis_index("pixels")
+    offset = axis * local_npix
+
+    verts, splat_img, l_state = vcm_mod.light_pass(
+        scene_rep, local_config, options, it, local_npix,
+        vc_weight, vm_weight, path_offset=offset, n_valid=npix,
+        splat_shape=(h_pad, h))
+
+    # cross-shard light-image reduction: every shard splats its own paths
+    # into a full film, psum'd over the mesh (XLA lowers psum+slice to
+    # reduce-scatter on ICI)
+    splat_img = jax.lax.psum(splat_img, "pixels")
+    band = jax.lax.dynamic_slice_in_dim(splat_img, axis * local_h, local_h, 0)
+
+    grid = None
+    if options.enable_merging:
+      all_verts = jax.tree_util.tree_map(
+          lambda x: jax.lax.all_gather(x, "pixels", axis=0, tiled=True), verts)
+      wl_all = jax.lax.all_gather(l_state.wl, "pixels", axis=0, tiled=True)
+      grid = vcm_mod.build_merge_grid(scene_rep, all_verts, wl_all,
+                                      radius, config.spectral)
+
+    camera_rgb = vcm_mod.camera_pass(
+        scene_rep, local_config, options, it, verts, grid,
+        radius, vc_weight, vm_weight, vm_normalization,
+        pixel_offset=offset, full_height=h)
+
+    fs = film_shard._replace(
+        light_iteration=film_shard.light_iteration + band)
+    fs = film_mod.commit_light_iteration(fs)
+    colors = camera_rgb.reshape(local_h, w, 3)
+    zero = jnp.zeros_like(colors)
+    return film_mod.accumulate_camera(fs, colors, zero, zero)
+
+  fn = jax.shard_map(
+      shard_fn, mesh=mesh,
+      in_specs=(P(), _film_spec(), P()),
+      out_specs=_film_spec(),
+      check_vma=False)
+  out = fn(scene, film_state, jnp.asarray(iteration, jnp.int32))
+  return _crop_rows(out, h) if h_pad != h else out
 
 
 def _film_spec():

@@ -217,10 +217,6 @@ def build_bank(images: list[dict]):
   n = len(images)
   pixels = np.zeros((n, h_max, w_max, 4), np.float32)
   size = np.zeros((n, 2), np.int32)
-  row_cdf = np.ones((n, h_max, w_max), np.float32)
-  row_pdf = np.zeros((n, h_max, w_max), np.float32)
-  col_cdf = np.ones((n, h_max), np.float32)
-  col_pdf = np.zeros((n, h_max), np.float32)
   offset = np.zeros((n, 2), np.float32)
   scale_u = np.ones(n, np.float32)
   normalization = np.ones(n, np.float32)
@@ -228,6 +224,14 @@ def build_bank(images: list[dict]):
   col_ai = np.zeros((n, h_max), np.int32)
   row_ap = np.ones((n, h_max, w_max), np.float32)
   row_ai = np.zeros((n, h_max, w_max), np.int32)
+
+  # alias rows batched across images: ONE native call builds every per-row
+  # and per-column table (a pure-Python Vose loop over a 4k env map took
+  # tens of seconds of scene-build time; ADVICE round-1 item)
+  col_batch = []   # (n_cdf, h_max) marginal-over-y probabilities
+  row_batch = []   # (n_cdf * h_max, w_max) conditional-over-x probabilities
+  cdf_ids = []
+  any_cdf = False
 
   for i, im in enumerate(images):
     px = im["pixels"].astype(np.float32)
@@ -237,42 +241,56 @@ def build_bank(images: list[dict]):
     offset[i] = im.get("offset", (0.0, 0.0))
     scale_u[i] = im.get("u_scale", 1.0)
     if im.get("build_cdf", False):
+      any_cdf = True
       lum = (px[..., 0] * 0.212671 + px[..., 1] * 0.715160 + px[..., 2] * 0.072169)
       v = (np.arange(h) + 0.5) / h
       row_w = np.ones(h) if im.get("uniform", False) or h == 1 else np.sin(v * np.pi)
       row_sums = lum.sum(axis=1)
-      # conditional CDF over x within each row
+      # conditional distribution over x within each row; zero rows fall back
+      # to uniform over the TRUE width (they are never selected — their
+      # marginal weight is 0 — but must not sample out-of-image texels)
       safe = np.where(row_sums > 0, row_sums, 1.0)[:, None]
-      rp = lum / safe
-      rc = np.cumsum(rp, axis=1)
-      rc[:, -1] = 1.0
-      row_pdf[i, :h, :w] = rp * w  # pdf density in texel units
-      row_cdf[i, :h, :w] = rc
+      rp = np.where((row_sums > 0)[:, None], lum / safe, 1.0 / w)
       # marginal over y with sin weight
       weighted = row_sums * row_w
       total = weighted.sum()
       cp = weighted / (total if total > 0 else 1.0)
-      cc = np.cumsum(cp)
-      cc[-1] = 1.0
-      col_pdf[i, :h] = cp * h
-      col_cdf[i, :h] = cc
       normalization[i] = total / (w * h)
       # alias tables over the PADDED extents (pad entries get zero prob)
       cp_pad = np.zeros(h_max, np.float64)
       cp_pad[:h] = cp
-      col_ap[i], col_ai[i] = _alias_table(cp_pad)
-      for yy in range(h):
-        rp_pad = np.zeros(w_max, np.float64)
-        rp_pad[:w] = rp[yy]
-        if rp_pad.sum() <= 0:
-          rp_pad[:w] = 1.0 / w
-        row_ap[i, yy], row_ai[i, yy] = _alias_table(rp_pad / rp_pad.sum())
+      rp_pad = np.zeros((h_max, w_max), np.float64)
+      rp_pad[:h, :w] = rp
+      cdf_ids.append(i)
+      col_batch.append(cp_pad)
+      row_batch.append(rp_pad)
 
+  if any_cdf:
+    from etx_tracer_tpu import native
+    cols = np.asarray(col_batch, np.float32)
+    rows = np.concatenate(row_batch, axis=0).astype(np.float32)
+    built_c = native.build_alias_tables(cols)
+    built_r = native.build_alias_tables(rows)
+    if built_c is None or built_r is None:  # no toolchain: Python Vose
+      built_c = (np.stack([_alias_table(c)[0] for c in cols]),
+                 np.stack([_alias_table(c)[1] for c in cols]))
+      built_r = (np.stack([_alias_table(r)[0] for r in rows]),
+                 np.stack([_alias_table(r)[1] for r in rows]))
+    for k, i in enumerate(cdf_ids):
+      col_ap[i], col_ai[i] = built_c[0][k], built_c[1][k]
+      row_ap[i] = built_r[0][k * h_max:(k + 1) * h_max]
+      row_ai[i] = built_r[1][k * h_max:(k + 1) * h_max]
+
+  # the device bank keeps only what sampling/pdf queries read: alias tables
+  # + per-texel pdf normalization. The row/col CDFs are superseded by the
+  # alias tables and would double env-table memory (ADVICE round-1 item).
+  dummy3 = np.ones((1, 1, 1), np.float32)
+  dummy2 = np.ones((1, 1), np.float32)
   return ImageBank(
       pixels=jnp.asarray(pixels), size=jnp.asarray(size),
       inv_size=jnp.asarray(1.0 / np.maximum(size, 1).astype(np.float32)),
-      row_cdf=jnp.asarray(row_cdf), row_pdf=jnp.asarray(row_pdf),
-      col_cdf=jnp.asarray(col_cdf), col_pdf=jnp.asarray(col_pdf),
+      row_cdf=jnp.asarray(dummy3), row_pdf=jnp.asarray(dummy3),
+      col_cdf=jnp.asarray(dummy2), col_pdf=jnp.asarray(dummy2),
       offset=jnp.asarray(offset), scale_u=jnp.asarray(scale_u),
       normalization=jnp.asarray(normalization),
       col_ap=jnp.asarray(col_ap), col_ai=jnp.asarray(col_ai),

@@ -96,10 +96,7 @@ def make_lane_payload(scene, config, sample_ids, end_sample,
   px = (pixel_index % w).astype(jnp.int32)
   py = (pixel_index // w).astype(jnp.int32)
   state, jit_rnd = rng.next_2d(state)
-  # iteration 0 renders pixel centers (film.cxx empty filter); later
-  # iterations use the Blackman-Harris pixel filter (film.cxx:63-67)
-  jitter = jnp.where((iteration == 0)[..., None], 0.0,
-                     camera_mod.blackman_harris_jitter(jit_rnd))
+  jitter = camera_mod.pixel_jitter(config.pixel_filter, jit_rnd, iteration)
   uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   state, lens_rnd = rng.next_2d(state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
@@ -395,6 +392,14 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
   accumulated = accumulated + jnp.where(
       direct_ok[..., None], throughput * e_value * mis_w[..., None], 0.0)
 
+  if config.validate:
+    from etx_tracer_tpu.utils import validate as val
+    fmask = found[..., None]
+    val.check_finite("pt:direct_emitter", accumulated=accumulated,
+                     emitter_value=jnp.where(fmask, e_value, 0.0),
+                     hit_pos=jnp.where(fmask, pos, 0.0),
+                     hit_nrm=jnp.where(fmask, nrm, 0.0))
+
   # --- first-hit AOVs ---
   albedo_here = bsdf_dispatch.albedo(scene, sd, spectral)
   first = found & directly_visible
@@ -458,6 +463,14 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
                                 state.sample_iter, 2)
     first_b = (state.path_length == 1)[..., None]
     rnd_em = jnp.where(first_b, bn_em, rnd_em)
+  if config.validate:
+    from etx_tracer_tpu.utils import validate as val
+    fmask = found[..., None]
+    val.check_finite("pt:bsdf_sample",
+                     weight=jnp.where(fmask, bs.weight, 0.0),
+                     pdf=jnp.where(found, bs.pdf, 0.0),
+                     w_o=jnp.where(fmask, bs.w_o, 0.0))
+
   can_nee = found & ~pass_through & (state.path_length + 1 <= config.max_path_length)
   if True:  # NEE block
     em_idx, _ = emitters_mod.sample_emitter_index(scene, rnd_sel)
@@ -551,6 +564,15 @@ def pt_step(scene, config, state: PTState, deferred_nee: bool = False) -> PTStat
 
   rays_traced = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32)) \
       + jnp.sum(nee_ok.astype(jnp.float32))
+
+  if config.validate:
+    from etx_tracer_tpu.utils import validate as val
+    amask = alive[..., None]
+    val.check_finite("pt:nee", accumulated=accumulated)
+    val.check_finite("pt:continuation",
+                     throughput=jnp.where(amask, new_throughput, 0.0),
+                     ray_o=jnp.where(amask, new_o, 0.0),
+                     ray_d=jnp.where(amask, new_d, 0.0))
 
   return PTState(
       ray_o=new_o, ray_d=new_d,

@@ -464,6 +464,13 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
                         jnp.where(is_boundary, state.alive, surf_alive)))
+    if config.validate:
+      from etx_tracer_tpu.utils import validate as val
+      amask = state.alive[..., None]
+      val.check_finite("vcm:light_pass",
+                       throughput=jnp.where(amask, state.throughput, 0.0),
+                       d_vcm=jnp.where(state.alive, state.d_vcm, 0.0),
+                       splat_img=splat_img)
     return slot + 1, state, verts, splat_img
 
   def cond(carry):
@@ -493,6 +500,10 @@ class MergeGrid(NamedTuple):
   grid_min: jnp.ndarray      # (3,)
   cell_size: jnp.ndarray     # ()
   table_mask: int
+  # packed per-photon row [pos, nrm, w_i, d_vcm, d_vm, thr_rgb, valid, pad]
+  # (N,16): the merge scan fetches ONE row gather instead of seven — TPU
+  # gathers dominate the photon loop
+  rows: jnp.ndarray = None
 
 
 _HASH_MASK = (1 << 16) - 1
@@ -534,18 +545,27 @@ def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
   else:
     thr_rgb = thr
 
+  nrm_f = flat(verts.nrm)
+  w_i_f = flat(verts.w_i)
+  d_vcm_f = flat(verts.d_vcm)
+  d_vm_f = flat(verts.d_vm)
+  packed_rows = jnp.concatenate([
+      pos, nrm_f, w_i_f, d_vcm_f[:, None], d_vm_f[:, None], thr_rgb,
+      valid.astype(jnp.float32)[:, None], jnp.zeros((n, 1))], axis=1)
+
   return MergeGrid(
       sorted_cell=cell[order],
       pos=pos[order],
-      nrm=flat(verts.nrm)[order],
-      w_i=flat(verts.w_i)[order],
-      d_vcm=flat(verts.d_vcm)[order],
-      d_vm=flat(verts.d_vm)[order],
+      nrm=nrm_f[order],
+      w_i=w_i_f[order],
+      d_vcm=d_vcm_f[order],
+      d_vm=d_vm_f[order],
       path_length=flat(verts.path_length)[order],
       throughput_rgb=thr_rgb[order],
       valid=valid[order],
       grid_min=grid_min, cell_size=jnp.asarray(cell_size),
-      table_mask=_HASH_MASK)
+      table_mask=_HASH_MASK,
+      rows=packed_rows[order])
 
 
 def _segment_range(grid: MergeGrid, cell):
@@ -554,24 +574,34 @@ def _segment_range(grid: MergeGrid, cell):
   return start, end
 
 
-# Max vertices examined per neighbor cell. A static bound is required for
-# fixed shapes; with production radii (5*scene_r/max_dim at >=512px films)
-# per-cell occupancy stays far below this. Huge test radii can clip.
+# Max vertices examined per neighbor cell in the GLOSSY dispatcher pass (a
+# static bound for fixed shapes). The Lambert pass instead runs a
+# while_loop to the ACTUAL max cell occupancy, capped at _MERGE_SCAN_CAP —
+# round-1's silent 32-photon clip is gone for the common path.
 _MERGE_SCAN = 32
+_MERGE_SCAN_CAP = 128
 
 
 def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
                  radius, vc_weight, options: VCMOptions, classes, spectral: bool,
-                 variations: tuple = (0,), exit_mask=None, exit_weight=None):
+                 variations: tuple = (0,), exit_mask=None, exit_weight=None,
+                 participates=None):
   """Photon gather over the 8 neighbor cells (vcm_shared.hxx:886-924).
 
   Sorted-segment scan with a static per-cell bound; returns (R,3) RGB.
   exit_mask/exit_weight: lanes merging at a subsurface exit shade with the
   white-diffuse exit material scaled by the gather weight
   (vcm_camera_step :1067-1069 merging after SSS substitution).
+
+  Two passes: (1) a K-batched ANALYTIC Lambert pass — on diffuse lanes
+  the per-photon lobe quantities reduce to dot products (f/cos = albedo/pi,
+  pdf = cos/pi), so 8*_MERGE_SCAN candidates run in 8*_MERGE_SCAN/K
+  iterations of pure vector math; (2) a serial dispatcher pass for glossy
+  (non-Lambert, non-delta) lanes, cond-skipped at runtime unless such a
+  lane actually merges. participates: lanes that merge this step — when
+  none do (the deep RR tail) both passes collapse to an any-reduce.
   """
   r = sd.w_i.shape[0]
-  pos = sd.tex * 0.0  # placeholder, overwritten below
   pos = state.ray_o  # query position = current camera vertex position
   m = (pos - grid.grid_min) / grid.cell_size
   mf = jnp.floor(m)
@@ -579,15 +609,11 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
   ac = mf.astype(jnp.int32)
   bc = ac + jnp.where(md < 0.5, -1, 1)
 
-  t_cam_rgb = spx.to_film_rgb(state.throughput, state.wl, spectral)
   w_cam_base = state.d_vcm * vc_weight
   r2 = em.sqr(radius)
 
-  merged = jnp.zeros((r, 3))
-
-  # cells stacked to (8, R): ONE traced scan body instead of 8*scan unrolled
-  # python loops (each body holds full BSDF evals — with the MS walks the
-  # unrolled version exploded compile time)
+  # cells stacked to (8, R); segment ranges hoisted: ONE batched
+  # searchsorted for all 8 neighbor cells
   cs = []
   for ci in range(8):
     ix = bc[:, 0] if ci & 1 else ac[:, 0]
@@ -595,46 +621,135 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
     iz = bc[:, 2] if ci & 4 else ac[:, 2]
     cs.append(_cell_hash(ix, iy, iz))
   cells = jnp.stack(cs, axis=0)  # (8, R)
-  # segment ranges hoisted out of the scan: ONE batched searchsorted for all
-  # 8 neighbor cells instead of one per loop iteration
   starts = jnp.searchsorted(grid.sorted_cell, cells, side="left")   # (8,R)
   ends = jnp.searchsorted(grid.sorted_cell, cells, side="right")    # (8,R)
 
-  def body(it, merged):
+  # lanes whose lobe needs the full dispatcher per photon (non-diffuse, or
+  # diffuse variations beyond Lambert); Lambert lanes use the analytic path
+  lambert_ok = tuple(variations) == (0,)
+  is_lambert = (sd.mat.cls == MC.Diffuse) & lambert_ok
+  if exit_mask is not None:
+    # SSS exits shade white-diffuse — analytic too (weight applied below)
+    is_lambert = is_lambert | exit_mask
+  # textured scattering color for the analytic path, computed ONCE per lane
+  # (diffuse_evaluate's _scattering, bsdf_various.hxx:36-72)
+  from etx_tracer_tpu.render.bsdf import lobes as lobes_mod
+  alb = lobes_mod._scattering(scene, sd, spectral)
+  if exit_mask is not None:
+    alb = jnp.where(exit_mask[..., None], exit_weight, alb)
+  sd_hard = sd._replace(mat=sd.mat._replace(
+      cls=jnp.where(is_lambert, -1, sd.mat.cls)))
+  # entering-flipped shading normal: the diffuse lobe shades in the frame
+  # oriented toward the incident side (lobes.normal_frame)
+  n_eff = sd.nrm * jnp.where(em.dot(sd.w_i, sd.nrm) < 0.0, 1.0, -1.0)[..., None]
+  rev_lambert = em.kInvPi * jnp.maximum(em.dot(-sd.w_i, n_eff), 0.0)
+
+  def weighted_contrib(j, dist2, bsdf_pdf, rev_pdf, foc, kr_shape):
+    """Shared MIS + kernel weighting given per-photon lobe quantities."""
+    w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
+    w_camera = jnp.broadcast_to(w_cam_base, kr_shape) \
+        + jnp.broadcast_to(state.d_vm, kr_shape) * rev_pdf
+    weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
+    # Epanechnikov kernel (vcm_shared.hxx:863-868)
+    kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
+    fval = foc * jnp.broadcast_to(state.throughput, kr_shape + state.throughput.shape[-1:])
+    if spectral:
+      flat = fval.reshape(-1, fval.shape[-1])
+      wlb = jnp.broadcast_to(state.wl, kr_shape).reshape(-1)
+      c_rgb = spx.to_film_rgb(flat, wlb, True).reshape(kr_shape + (3,))
+    else:
+      c_rgb = fval
+    return c_rgb * grid.throughput_rgb[j] * (kern * weight)[..., None]
+
+  # ---- pass 1: analytic Lambert (the dominant merge receivers — photons
+  # land on diffuse surfaces; per-photon cost is dot products). Each
+  # while_loop iteration gathers ONE packed 16-float row per neighbor cell
+  # per lane, and the loop runs only to the ACTUAL max cell occupancy ----
+  occupancy = ends - starts                       # (8,R)
+  kmax = jnp.minimum(jnp.max(occupancy), _MERGE_SCAN_CAP)
+
+  def lambert_body(carry):
+    k, merged = carry
+    j = jnp.minimum(starts + k, grid.pos.shape[0] - 1)   # (8,R)
+    in_range = (starts + k) < ends
+    rows = grid.rows[j]                                  # (8,R,16)
+    vpos = rows[..., 0:3]
+    vnrm = rows[..., 3:6]
+    w_in = rows[..., 6:9]
+    v_d_vcm = rows[..., 9]
+    v_d_vm = rows[..., 10]
+    v_thr = rows[..., 11:14]
+    v_valid = rows[..., 14] > 0.5
+    d = vpos - pos[None]
+    dist2 = jnp.sum(d * d, axis=-1)
+    ok = in_range & v_valid & (dist2 <= r2) & is_lambert[None]
+    ok = ok & (jnp.sum(sd.nrm[None] * vnrm, axis=-1) > em.kEpsilon)
+    # signed cos in the entering-oriented frame = the hemisphere gate the
+    # full diffuse lobe applies (diffuse_evaluate valid = cos_o > eps)
+    cos_sgn = jnp.sum(n_eff[None] * (-w_in), axis=-1)
+    lam_valid = cos_sgn > em.kEpsilon
+    foc = alb[None] * em.kInvPi * lam_valid[..., None]       # f/cos
+    bsdf_pdf = jnp.where(lam_valid, cos_sgn * em.kInvPi, 0.0)
+    rev_pdf = jnp.broadcast_to(rev_lambert[None], (8, r))
+
+    w_light = v_d_vcm * vc_weight + v_d_vm * bsdf_pdf
+    w_camera = w_cam_base[None] + state.d_vm[None] * rev_pdf
+    weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
+    kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
+    fval = foc * state.throughput[None]
+    if spectral:
+      c_rgb = spx.to_film_rgb(
+          fval.reshape(8 * r, fval.shape[-1]),
+          jnp.broadcast_to(state.wl[None], (8, r)).reshape(-1),
+          True).reshape(8, r, 3)
+    else:
+      c_rgb = fval
+    contrib = c_rgb * v_thr * (kern * weight)[..., None]
+    ok = ok & (bsdf_pdf > 0.0)
+    return k + 1, merged + jnp.sum(jnp.where(ok[..., None], contrib, 0.0), axis=0)
+
+  # ---- pass 2: serial per-photon dispatch for glossy (non-Lambert,
+  # non-delta) merge lanes; cond-skipped unless such a lane merges this
+  # step (SDS caustics merge on the diffuse floor — this pass idles) ----
+  glossy_classes = any(c not in (MC.Diffuse, MC.Mirror, MC.Void, MC.Boundary)
+                       for c in classes)
+  needs_glossy = glossy_classes or not lambert_ok
+
+  def glossy_body(it, merged):
     ci = it // _MERGE_SCAN
     k = it % _MERGE_SCAN
     start = jax.lax.dynamic_index_in_dim(starts, ci, axis=0, keepdims=False)
     end = jax.lax.dynamic_index_in_dim(ends, ci, axis=0, keepdims=False)
     j = jnp.minimum(start + k, grid.pos.shape[0] - 1)
     in_range = (start + k) < end
-    vpos = grid.pos[j]
-    d = vpos - pos
+    d = grid.pos[j] - pos
     dist2 = em.dot(d, d)
-    ok = in_range & grid.valid[j] & (dist2 <= r2)
+    ok = in_range & grid.valid[j] & (dist2 <= r2) & ~is_lambert
     ok = ok & (em.dot(sd.nrm, grid.nrm[j]) > em.kEpsilon)
     w_in = grid.w_i[j]
-    bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd, -w_in, spectral, classes, variations)
-    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, -w_in, spectral, classes)
-    if exit_mask is not None:
-      white = em.kInvPi * jnp.maximum(em.dot(sd.nrm, -w_in), 0.0)
-      bsdf_val = jnp.where(exit_mask[..., None], white[..., None] * exit_weight,
-                           bsdf_val)
-      bsdf_pdf = jnp.where(exit_mask, white, bsdf_pdf)
-      rev_pdf = jnp.where(exit_mask,
-                          em.kInvPi * jnp.abs(em.dot(sd.w_i, sd.nrm)), rev_pdf)
-    w_light = grid.d_vcm[j] * vc_weight + grid.d_vm[j] * bsdf_pdf
-    w_camera = w_cam_base + state.d_vm * rev_pdf
-    weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
-    # Epanechnikov kernel (vcm_shared.hxx:863-868)
-    kern = jnp.maximum(2.0 * (1.0 - dist2 / jnp.maximum(r2, 1e-20)), 0.0)
+    bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd_hard, -w_in,
+                                                spectral, classes, variations)
+    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd_hard, -w_in, spectral, classes)
     cos_o = jnp.abs(em.dot(sd.nrm, -w_in))
-    func = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
-    c_rgb = spx.to_film_rgb(func * state.throughput, state.wl, spectral)
-    contrib = c_rgb * grid.throughput_rgb[j] * (kern * weight)[..., None]
+    foc = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
+    contrib = weighted_contrib(j, dist2, bsdf_pdf, rev_pdf, foc, (r,))
     ok = ok & (bsdf_pdf > 0.0)
     return merged + jnp.where(ok[..., None], contrib, 0.0)
 
-  merged = jax.lax.fori_loop(0, 8 * _MERGE_SCAN, body, merged)
+  part = participates if participates is not None else jnp.ones(r, bool)
+
+  def run_lambert(merged):
+    _, out = jax.lax.while_loop(
+        lambda c: c[0] < kmax, lambert_body, (jnp.int32(0), merged))
+    return out
+
+  merged = jax.lax.cond(jnp.any(part & is_lambert), run_lambert,
+                        lambda x: x, jnp.zeros((r, 3)))
+  if needs_glossy:
+    def run_glossy(m):
+      return jax.lax.fori_loop(0, 8 * _MERGE_SCAN, glossy_body, m)
+    merged = jax.lax.cond(jnp.any(part & ~is_lambert), run_glossy,
+                          lambda m: m, merged)
   return merged
 
 
@@ -669,10 +784,9 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   px = (idx % w).astype(jnp.int32)
   py = (idx // w).astype(jnp.int32)
   rng_state, jit_rnd = rng.next_2d(rng_state)
-  # same Blackman-Harris pixel filter as PT (Film::sample applies the filter
-  # image for every integrator, film.cxx:137-145)
-  jitter = jnp.where(iteration == 0, 0.0,
-                     camera_mod.blackman_harris_jitter(jit_rnd))
+  # same pixel filter as PT (Film::sample applies the filter image for
+  # every integrator, film.cxx:137-145)
+  jitter = camera_mod.pixel_jitter(config.pixel_filter, jit_rnd, iteration)
   uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   rng_state, lens_rnd = rng.next_2d(rng_state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,
@@ -987,8 +1101,21 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
         return gathered, rng_state
 
-      gathered, rng_state = jax.lax.fori_loop(
-          0, options.max_stored_vertices, connect_one, (gathered, rng_state))
+      def run_connections(carry):
+        return jax.lax.fori_loop(
+            0, options.max_stored_vertices, connect_one, carry)
+
+      if config.has_media:
+        # media connections advance per-lane RNG (ratio-tracking
+        # transmittance), so skipping would shift streams — always run
+        gathered, rng_state = run_connections((gathered, rng_state))
+      else:
+        # deep-tail skip: no RNG is drawn in surface-only connections, so
+        # the cond is stream-neutral; once every lane is delta/dead the V
+        # eval+trace rounds collapse to one any-reduce
+        gathered, rng_state = jax.lax.cond(
+            jnp.any(participates), run_connections, lambda c: c,
+            (gathered, rng_state))
 
     # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:
@@ -997,7 +1124,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                             options, classes, spectral,
                             config.diffuse_variations,
                             exit_mask=sss_ok if config.has_subsurface else None,
-                            exit_weight=sss_gather.weight if config.has_subsurface else None)
+                            exit_weight=sss_gather.weight if config.has_subsurface else None,
+                            participates=participates)
       merged_total = merged_total + jnp.where(upd[..., None], merged, 0.0)
 
     # --- medium phase continuation (vcm_camera_step :954-996) ---
@@ -1076,6 +1204,12 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
                         jnp.where(is_boundary, state.alive, surf_alive)))
+    if config.validate:
+      from etx_tracer_tpu.utils import validate as val
+      amask = state.alive[..., None]
+      val.check_finite("vcm:camera_pass",
+                       gathered=state.gathered, merged=merged_total,
+                       throughput=jnp.where(amask, state.throughput, 0.0))
     return step + 1, state, merged_total
 
   def loop_cond(carry):

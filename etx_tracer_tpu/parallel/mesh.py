@@ -264,8 +264,7 @@ def _make_band_payload(scene, config, iteration, row_offset, full_height):
   px = (global_index % w).astype(jnp.int32)
   py = (global_index // w).astype(jnp.int32)
   state, jit_rnd = rng.next_2d(state)
-  jitter = jnp.where(iteration == 0, 0.0,
-                     camera_mod.blackman_harris_jitter(jit_rnd))
+  jitter = camera_mod.pixel_jitter(config.pixel_filter, jit_rnd, iteration)
   uv = camera_mod.film_uv(px, py, w, full_height, jitter)
   state, lens_rnd = rng.next_2d(state)
   rays = camera_mod.generate_ray(scene.camera, uv, lens_rnd, scene=scene,

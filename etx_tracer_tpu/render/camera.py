@@ -50,6 +50,23 @@ def blackman_harris_jitter(rnd2):
   return jnp.stack([d * jnp.cos(phi), d * jnp.sin(phi)], axis=-1)
 
 
+def pixel_jitter(pixel_filter: str, jit_rnd, iteration):
+  """Per-sample in-pixel jitter for the configured reconstruction filter.
+
+  "blackman-harris": radial BH importance sample; iteration 0 renders
+  pixel centers (Film's empty filter on the first pass, film.cxx:63-67).
+  "box": uniform jitter over the pixel. "center": always pixel centers.
+  """
+  if pixel_filter == "center":
+    return jnp.zeros_like(jit_rnd)
+  if pixel_filter == "box":
+    return jit_rnd - 0.5
+  it0 = (iteration == 0)
+  if hasattr(it0, "ndim") and it0.ndim < jit_rnd.ndim:
+    it0 = it0[..., None]
+  return jnp.where(it0, 0.0, blackman_harris_jitter(jit_rnd))
+
+
 def film_uv(px, py, width: int, height: int, jitter):
   """Pixel + jitter -> NDC uv in [-1,1] (film.cxx:137-145)."""
   u = (px.astype(jnp.float32) + 0.5 + jitter[..., 0]) / width * 2.0 - 1.0

@@ -258,3 +258,11 @@ class SceneConfig:
   # a radiance clamp is configured (gates deferred NEE, which bypasses the
   # per-sample clamp)
   has_radiance_clamp: bool = False
+  # pixel reconstruction filter: "blackman-harris" (Film::sample default,
+  # film.cxx:63-67; iteration 0 renders pixel centers), "box" (uniform
+  # in-pixel jitter) or "center" (the reference's empty-filter mode)
+  pixel_filter: str = "blackman-harris"
+  # runtime validation build: inject checkify finite-guards after each
+  # integrator stage (ETX_VALIDATE, render/shared/base.hxx:16-48);
+  # production configs compile zero extra code
+  validate: bool = False

@@ -58,6 +58,12 @@ class VCMOptions:
   initial_radius: float = 0.0   # 0 -> 5*scene_radius/max_film_dim
   radius_decay: int = 256
   max_stored_vertices: int = 8
+  # per-cell photon budget: overfull cells keep a RANDOM subset of this
+  # many photons with energy rescaled by occupancy/budget (unbiased
+  # stochastic subsampling). Bounds the merge scan — dense caustic cells
+  # held thousands of photons and the scan is gather-bound on TPU. 0 = no
+  # cap (the reference CPU scans every photon in range).
+  max_photons_per_cell: int = 16
 
 
 def bdpt_options() -> VCMOptions:
@@ -504,6 +510,7 @@ class MergeGrid(NamedTuple):
   # (N,16): the merge scan fetches ONE row gather instead of seven — TPU
   # gathers dominate the photon loop
   rows: jnp.ndarray = None
+  cell_cap: int = 0  # static per-cell photon budget (0 = uncapped)
 
 
 _HASH_MASK = (1 << 16) - 1
@@ -516,9 +523,17 @@ def _cell_hash(ix, iy, iz):
 
 
 def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
-                     spectral: bool) -> MergeGrid:
+                     spectral: bool, cell_cap: int = 16) -> MergeGrid:
   """Flatten + sort light vertices by cell hash (SoA payloads,
-  vcm_shared.cxx:49-152 counting sort -> argsort + searchsorted)."""
+  vcm_shared.cxx:49-152 counting sort -> argsort + searchsorted).
+
+  cell_cap > 0: overfull cells keep a random cell_cap-photon subset with
+  throughput rescaled by occupancy/cap (unbiased; see
+  VCMOptions.max_photons_per_cell). The random subsample = sorting each
+  cell segment by a per-photon hash and keeping the first cap entries,
+  which also leaves kept photons CONTIGUOUS at the segment start so the
+  scan loop covers exactly min(occupancy, cap) slots.
+  """
   r, v = verts.valid.shape
   n = r * v
 
@@ -534,7 +549,16 @@ def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
   cell = _cell_hash(m[:, 0], m[:, 1], m[:, 2])
   cell = jnp.where(valid, cell, jnp.int32(_HASH_MASK + 1))  # invalid sort last
 
-  order = jnp.argsort(cell)
+  # sort by (cell, per-photon hash): random order within each cell segment
+  h = jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(0x9E3779B9)
+  h = h ^ jax.lax.bitcast_convert_type(pos[:, 0].astype(jnp.float32), jnp.uint32)
+  h = h * jnp.uint32(0x85EBCA6B)
+  h = h ^ jax.lax.bitcast_convert_type(pos[:, 2].astype(jnp.float32), jnp.uint32)
+  # uint32 composite key (x64 is disabled): cell (<= 2^16 incl. the
+  # invalid sentinel) in the high bits, 15 hash bits below — max value
+  # 65537*32768 < 2^32
+  key = cell.astype(jnp.uint32) * jnp.uint32(32768) + (h >> 17)
+  order = jnp.argsort(key)
 
   thr = flat(verts.throughput)
   if spectral:
@@ -553,19 +577,37 @@ def build_merge_grid(scene, verts: LightVertices, wl_lanes, radius,
       pos, nrm_f, w_i_f, d_vcm_f[:, None], d_vm_f[:, None], thr_rgb,
       valid.astype(jnp.float32)[:, None], jnp.zeros((n, 1))], axis=1)
 
+  cell_s = cell[order]
+  rows_s = packed_rows[order]
+  valid_s = valid[order]
+  if cell_cap and cell_cap > 0:
+    seg_start = jnp.searchsorted(cell_s, cell_s, side="left")
+    seg_end = jnp.searchsorted(cell_s, cell_s, side="right")
+    rank = jnp.arange(n) - seg_start
+    occ = (seg_end - seg_start).astype(jnp.float32)
+    keep = rank < cell_cap
+    scale = jnp.maximum(occ / cell_cap, 1.0)
+    valid_s = valid_s & keep
+    rows_s = rows_s.at[:, 11:14].multiply(scale[:, None])
+    rows_s = rows_s.at[:, 14].set(valid_s.astype(jnp.float32))
+    thr_scale = scale
+  else:
+    thr_scale = jnp.ones(n)
+
   return MergeGrid(
-      sorted_cell=cell[order],
+      sorted_cell=cell_s,
       pos=pos[order],
       nrm=nrm_f[order],
       w_i=w_i_f[order],
       d_vcm=d_vcm_f[order],
       d_vm=d_vm_f[order],
       path_length=flat(verts.path_length)[order],
-      throughput_rgb=thr_rgb[order],
-      valid=valid[order],
+      throughput_rgb=thr_rgb[order] * thr_scale[:, None],
+      valid=valid_s,
       grid_min=grid_min, cell_size=jnp.asarray(cell_size),
       table_mask=_HASH_MASK,
-      rows=packed_rows[order])
+      rows=rows_s,
+      cell_cap=int(cell_cap or 0))
 
 
 def _segment_range(grid: MergeGrid, cell):
@@ -666,7 +708,8 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
   # while_loop iteration gathers ONE packed 16-float row per neighbor cell
   # per lane, and the loop runs only to the ACTUAL max cell occupancy ----
   occupancy = ends - starts                       # (8,R)
-  kmax = jnp.minimum(jnp.max(occupancy), _MERGE_SCAN_CAP)
+  scan_cap = grid.cell_cap if grid.cell_cap else _MERGE_SCAN_CAP
+  kmax = jnp.minimum(jnp.max(occupancy), scan_cap)
 
   def lambert_body(carry):
     k, merged = carry
@@ -1223,29 +1266,49 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   return gathered_rgb + merged_total * vm_normalization
 
 
-@functools.partial(jax.jit, static_argnames=("config", "options"))
-def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
-  """One full VCM iteration: light pass -> grid -> camera pass -> film."""
+def radius_schedule(scene, config, options: VCMOptions, iteration):
+  """Merge-radius schedule + derived MIS weights (vcm_cpu.cxx:95-113).
+
+  Computed EAGERLY (outside any jit) so the single-device and sharded
+  paths share bitwise-identical values — under jit, XLA's fusion can
+  round 1/eta differently, and with per-cell photon subsampling a 1-ulp
+  radius difference flips cell assignments and the sampled subsets.
+  Returns (radius, vc_weight, vm_weight, vm_normalization) f32 scalars.
+  """
   w, h = config.film_width, config.film_height
   npix = w * h
-
-  # radius schedule (vcm_cpu.cxx:95-113)
-  base_radius = options.initial_radius if options.initial_radius > 0.0 else None
-  if base_radius is None:
-    radius0 = 5.0 * scene.bsphere_radius / float(max(w, h))
+  if options.initial_radius > 0.0:
+    radius0 = jnp.asarray(options.initial_radius)
   else:
-    radius0 = jnp.asarray(base_radius)
-  radius = radius0 / (1.0 + iteration.astype(jnp.float32) / options.radius_decay) \
-      if hasattr(iteration, "astype") else radius0 / (1.0 + iteration / options.radius_decay)
+    radius0 = 5.0 * scene.bsphere_radius / float(max(w, h))
+  it = jnp.asarray(iteration, jnp.int32)
+  radius = radius0 / (1.0 + it.astype(jnp.float32) / options.radius_decay)
   eta_vcm = em.kPi * em.sqr(radius) * npix
   vc_weight = 1.0 / eta_vcm
-  vm_weight = eta_vcm if options.enable_merging else 0.0
+  vm_weight = eta_vcm if options.enable_merging else jnp.zeros(())
   vm_normalization = 1.0 / eta_vcm
+  return radius, vc_weight, vm_weight, vm_normalization
+
+
+def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
+  """One full VCM iteration: light pass -> grid -> camera pass -> film."""
+  sched = radius_schedule(scene, config, options, iteration)
+  return _render_iteration_jit(scene, config, options, film_state,
+                               jnp.asarray(iteration, jnp.int32), sched)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "options"))
+def _render_iteration_jit(scene, config, options: VCMOptions, film_state,
+                          iteration, sched):
+  w, h = config.film_width, config.film_height
+  npix = w * h
+  radius, vc_weight, vm_weight, vm_normalization = sched
 
   verts, splat_img, l_state = light_pass(
       scene, config, options, iteration, npix, vc_weight, vm_weight)
 
-  grid = build_merge_grid(scene, verts, l_state.wl, radius, config.spectral) \
+  grid = build_merge_grid(scene, verts, l_state.wl, radius, config.spectral,
+                          cell_cap=options.max_photons_per_cell) \
       if options.enable_merging else None
 
   camera_rgb = camera_pass(scene, config, options, iteration, verts, grid,

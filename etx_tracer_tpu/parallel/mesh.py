@@ -162,14 +162,11 @@ def vcm_render_iteration_sharded(scene, config, options, film_state,
   local_npix = local_h * w
   npix = w * h  # TRUE pixel count drives the estimator normalization
 
-  # radius schedule (vcm_cpu.cxx:95-113), computed host-side per iteration
-  radius0 = (options.initial_radius if options.initial_radius > 0.0
-             else 5.0 * float(scene.bsphere_radius) / float(max(w, h)))
-  radius = radius0 / (1.0 + iteration / options.radius_decay)
-  eta_vcm = 3.141592653589793 * radius * radius * npix
-  vc_weight = 1.0 / eta_vcm
-  vm_weight = eta_vcm if options.enable_merging else 0.0
-  vm_normalization = 1.0 / eta_vcm
+  # radius schedule: SHARED eager computation with the single-device path
+  # (vcm.radius_schedule) — bitwise-identical weights keep the per-cell
+  # photon subsample identical across both paths
+  radius, vc_weight, vm_weight, vm_normalization = vcm_mod.radius_schedule(
+      scene, config, options, iteration)
 
   def shard_fn(scene_rep, film_shard, it):
     axis = jax.lax.axis_index("pixels")
@@ -192,7 +189,8 @@ def vcm_render_iteration_sharded(scene, config, options, film_state,
           lambda x: jax.lax.all_gather(x, "pixels", axis=0, tiled=True), verts)
       wl_all = jax.lax.all_gather(l_state.wl, "pixels", axis=0, tiled=True)
       grid = vcm_mod.build_merge_grid(scene_rep, all_verts, wl_all,
-                                      radius, config.spectral)
+                                      radius, config.spectral,
+                                      cell_cap=options.max_photons_per_cell)
 
     camera_rgb = vcm_mod.camera_pass(
         scene_rep, local_config, options, it, verts, grid,

@@ -114,9 +114,16 @@ def test_sharded_pool_matches_single_device(mesh_setup):
 
 def test_sharded_vcm_matches_single_device():
   """8-device VCM (psum light splats + all_gather merge grid) must match the
-  single-device estimator bit-for-bit up to float reassociation."""
+  single-device estimator bit-for-bit up to float reassociation.
+
+  Runs with max_photons_per_cell=0 (uncapped): with the per-cell photon
+  subsample enabled the two compilation contexts can round a cell
+  assignment one ulp apart and keep DIFFERENT (equally unbiased) photon
+  subsets, so exact comparison is only meaningful uncapped — the distance
+  test then makes cell-boundary rounding irrelevant."""
   if len(jax.devices()) < 8:
     pytest.skip("needs 8 virtual devices")
+  import dataclasses
   from etx_tracer_tpu import parallel
   from etx_tracer_tpu.models import vcm as vcm_mod
   from etx_tracer_tpu.render import film as film_mod
@@ -127,7 +134,7 @@ def test_sharded_vcm_matches_single_device():
   scene, config = b.build()
   mesh = parallel.make_mesh(jax.devices()[:8])
   scene_r = parallel.mesh.replicate_scene(scene, mesh)
-  opts = vcm_mod.VCMOptions()
+  opts = dataclasses.replace(vcm_mod.VCMOptions(), max_photons_per_cell=0)
 
   fs1 = film_mod.allocate(16, 16)
   fs1 = vcm_mod.render_iteration(scene, config, opts, fs1, 0)
@@ -139,6 +146,17 @@ def test_sharded_vcm_matches_single_device():
                              rtol=1e-4, atol=1e-6)
   np.testing.assert_allclose(np.asarray(fs.light), np.asarray(fs1.light),
                              rtol=1e-4, atol=1e-6)
+
+  # capped path (production default): statistically consistent — same
+  # total energy within a few percent even though the kept subsets differ
+  opts_cap = vcm_mod.VCMOptions()
+  fs1c = film_mod.allocate(16, 16)
+  fs1c = vcm_mod.render_iteration(scene, config, opts_cap, fs1c, 0)
+  fsc = parallel.mesh.shard_film(film_mod.allocate(16, 16), mesh)
+  fsc = parallel.vcm_render_iteration_sharded(scene_r, config, opts_cap, fsc, 0, mesh)
+  e1 = float(np.asarray(fs1c.camera).mean())
+  e2 = float(np.asarray(fsc.camera).mean())
+  assert abs(e1 - e2) / max(e1, 1e-9) < 0.05
 
 
 def test_sharded_vcm_delta_emitter_splats_cross_shards():

@@ -77,14 +77,31 @@ class TestVCM:
     scene, config = _scene()
     opts = dataclasses.replace(vcm.VCMOptions(), max_stored_vertices=3)
     verts, _, lst = vcm.light_pass(scene, config, opts, 0, 256, 1.0, 1.0)
-    grid = vcm.build_merge_grid(scene, verts, lst.wl, 0.1, False)
+
+    # uncapped grid keeps every stored vertex
+    grid = vcm.build_merge_grid(scene, verts, lst.wl, 0.1, False, cell_cap=0)
     cell = np.asarray(grid.sorted_cell)
     assert (np.diff(cell) >= 0).all()  # sorted
     valid = np.asarray(grid.valid)
     n_valid = int(np.asarray(verts.valid).sum())
     assert int(valid.sum()) == n_valid
-    # invalid vertices sort last
-    assert valid[: int(valid.sum())].all()
+    total_energy = float(np.asarray(grid.throughput_rgb)[valid].sum())
+
+    # capped grid: per-cell valid occupancy <= cap, kept photons contiguous
+    # at the segment start, ENERGY CONSERVED in expectation via the
+    # occupancy/cap rescale (exact per cell: kept*scale sums to occupancy
+    # times the kept mean)
+    cap = 4
+    gc = vcm.build_merge_grid(scene, verts, lst.wl, 0.1, False, cell_cap=cap)
+    cellc = np.asarray(gc.sorted_cell)
+    validc = np.asarray(gc.valid)
+    for c in np.unique(cellc[validc]):
+      seg = validc[cellc == c]
+      assert seg.sum() <= cap
+      assert seg[: seg.sum()].all()  # kept photons lead the segment
+    # rescaled energy stays within MC tolerance of the uncapped total
+    energy_c = float(np.asarray(gc.throughput_rgb)[validc].sum())
+    assert 0.5 * total_energy < energy_c < 2.0 * total_energy
 
   def test_spectral_vcm_matches_spectral_pt(self):
     """Spectral-mode cross-integrator agreement: exercises the per-step

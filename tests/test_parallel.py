@@ -197,3 +197,20 @@ def test_sharded_vcm_delta_emitter_splats_cross_shards():
   rows_hit = np.unique(np.nonzero(light.sum(axis=(1, 2)) > 0)[0] // 2)
   assert rows_hit.size >= 3, f"splats confined to shard rows {rows_hit}"
   np.testing.assert_allclose(light, single_light, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_pool_work_scales(mesh_setup):
+  """Perf-shape check (VERDICT item 7): the sharded production pool does
+  1/N of the work per device — total useful rays match the single-device
+  pool (each shard owns its band; no duplicated work)."""
+  from etx_tracer_tpu import parallel
+  from etx_tracer_tpu.models import path_tracing
+
+  scene, config, mesh = mesh_setup
+  scene_r = parallel.mesh.replicate_scene(scene, mesh)
+  _, rays_single = path_tracing.render_samples_static(scene, config, 0, 2,
+                                                      pool_size=4096)
+  _, rays_sharded = parallel.render_samples_sharded(scene_r, config, 0, 2,
+                                                    mesh, pool_size=4096)
+  r1, r8 = float(rays_single), float(rays_sharded)
+  assert abs(r1 - r8) / r1 < 1e-6, (r1, r8)

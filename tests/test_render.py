@@ -220,3 +220,36 @@ class TestAlphaOpacity:
     left_o = opaque[:, :3].mean()
     left_c = clear[:, :3].mean()
     assert left_c < left_o * 0.5
+
+
+def test_denoiser_reduces_noise_on_cornell():
+  """Denoiser quality gate (VERDICT: the a-trous filter was never
+  validated): denoising a 1 spp Cornell render must cut its MSE vs a
+  256 spp reference by at least 3x on pixels that do not see the emitter
+  directly (emitter pixels carry binomial coverage noise no spatial
+  filter can or should remove — measured there: noisy 0.25, denoised
+  0.20, elsewhere 0.0015 -> 0.00025)."""
+  import numpy as np
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render import denoiser
+  from etx_tracer_tpu.scene import cornell
+
+  scene, config = cornell.build_cornell_box(
+      film_size=(24, 24), diffuse_only=True, max_path_length=4).build()
+
+  def film(iters):
+    sums, _ = path_tracing.render_samples_static(scene, config, 0, iters,
+                                                 pool_size=24 * 24 * 8)
+    return path_tracing.finalize_film(sums, iters, 24)
+
+  ref = np.asarray(film(256).camera)
+  noisy_fs = film(1)
+  noisy = np.asarray(noisy_fs.camera)
+  den = np.asarray(denoiser.denoise(noisy_fs.camera, noisy_fs.normals,
+                                    noisy_fs.albedo, iterations=2))
+  lum = ref.sum(-1)
+  m = lum < np.percentile(lum, 95)
+  mse_noisy = float(((noisy - ref)[m] ** 2).mean())
+  mse_den = float(((den - ref)[m] ** 2).mean())
+  assert np.isfinite(den).all()
+  assert mse_den < mse_noisy / 3.0, (mse_den, mse_noisy)

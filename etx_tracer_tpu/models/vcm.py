@@ -1144,21 +1144,100 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
         return gathered, rng_state
 
+      def connect_batched(gathered_in):
+        """All V connections in ONE batched eval + ONE occlusion launch
+        (no-media only): the per-slot fori serialized V trace launches
+        with their fixed dispatch overheads. Flattening keeps slot-major
+        order lane*V+v (reshape of (R,V,...))."""
+        V = options.max_stored_vertices
+        rV = r * V
+
+        def fl(a):
+          return a.reshape((rV,) + a.shape[2:])
+
+        def rp(a):
+          return jnp.repeat(a, V, axis=0)
+
+        lv_pos = fl(verts.pos)
+        lv_nrm = fl(verts.nrm)
+        lv_geo = fl(verts.geo_n)
+        lv_wi = fl(verts.w_i)
+        lv_thr = fl(verts.throughput)
+        lv_valid = fl(verts.valid)
+        lv_mat = pt._gather_mat(scene, fl(verts.mat))
+        target_len = rp(state.path_depth) + fl(verts.path_length) + 1
+        d = lv_pos - rp(pos)
+        dist2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+        w_o = d / jnp.sqrt(dist2)[..., None]
+
+        wl_rep = rp(state.wl)
+        scene_big = scene
+        if spectral:
+          cache = getattr(scene, "spec_at_wl", None)
+          if cache is not None:
+            scene_big = scene._replace(spec_at_wl=(wl_rep, rp(cache[1])))
+        sd_big = jax.tree_util.tree_map(rp, sd_eval)._replace(wl=wl_rep)
+
+        cb_val, cb_pdf = bsdf_dispatch.evaluate(
+            scene_big, sd_big, w_o, spectral, classes, config.diffuse_variations)
+        c_rev = bsdf_dispatch.reverse_pdf(scene_big, sd_big, w_o, spectral, classes)
+        if config.has_subsurface:
+          sss_ok_b = rp(sss_ok)
+          white = em.kInvPi * jnp.maximum(
+              jnp.sum(sd_big.nrm * w_o, axis=-1), 0.0)
+          cb_val = jnp.where(sss_ok_b[..., None],
+                             white[..., None] * rp(sss_gather.weight), cb_val)
+          cb_pdf = jnp.where(sss_ok_b, white, cb_pdf)
+          c_rev = jnp.where(
+              sss_ok_b,
+              em.kInvPi * jnp.abs(jnp.sum(sd_big.w_i * sd_big.nrm, axis=-1)),
+              c_rev)
+
+        lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
+                          tan=fl(verts.tan), btn=fl(verts.btn),
+                          geo_n=lv_geo, tex=fl(verts.uv), wl=wl_rep,
+                          medium=rp(state.medium), mat=lv_mat)
+        lb_val, lb_pdf = bsdf_dispatch.evaluate(
+            scene_big, lsd, -w_o, spectral, classes, config.diffuse_variations)
+        l_rev = bsdf_dispatch.reverse_pdf(scene_big, lsd, -w_o, spectral, classes)
+        w_dot_l = -jnp.sum(lv_nrm * w_o, axis=-1)
+        fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
+        cam_factor = jnp.abs(jnp.sum(rp(nrm) * w_o, axis=-1))
+        cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
+        light_area_pdf = lb_pdf * cam_factor / dist2
+        w_light = cam_area_pdf * (vm_weight + fl(verts.d_vcm)
+                                  + fl(verts.d_vc) * l_rev)
+        w_camera = light_area_pdf * (vm_weight + rp(state.d_vcm)
+                                     + rp(state.d_vc) * c_rev)
+        weight = jnp.where(options.enable_mis,
+                           1.0 / (1.0 + w_light + w_camera), 1.0)
+        sh_o = pt._shading_pos(rp(sd.geo_n), rp(pos), w_o)
+        seg_len = em.length(lv_pos - sh_o)
+        occ = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                       jnp.full(rV, em.kRayEpsilon),
+                                       seg_len * (1.0 - 1e-3))
+        ok = (rp(upd) & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
+              & (target_len + 1 <= config.max_path_length))
+        contrib = (cb_val * rp(state.throughput)) * (lb_val * lv_thr) \
+            * (weight * fix / dist2)[..., None]
+        contrib = jnp.where(ok[..., None], contrib, 0.0)
+        return gathered_in + contrib.reshape(r, V, -1).sum(axis=1)
+
       def run_connections(carry):
         return jax.lax.fori_loop(
             0, options.max_stored_vertices, connect_one, carry)
 
       if config.has_media:
         # media connections advance per-lane RNG (ratio-tracking
-        # transmittance), so skipping would shift streams — always run
+        # transmittance), so skipping would shift streams — always run;
+        # the fori keeps transmittance walks per slot
         gathered, rng_state = run_connections((gathered, rng_state))
       else:
         # deep-tail skip: no RNG is drawn in surface-only connections, so
-        # the cond is stream-neutral; once every lane is delta/dead the V
-        # eval+trace rounds collapse to one any-reduce
-        gathered, rng_state = jax.lax.cond(
-            jnp.any(participates), run_connections, lambda c: c,
-            (gathered, rng_state))
+        # the cond is stream-neutral; once every lane is delta/dead the
+        # batched eval + trace collapse to one any-reduce
+        gathered = jax.lax.cond(
+            jnp.any(participates), connect_batched, lambda g: g, gathered)
 
     # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:

@@ -195,10 +195,11 @@ class TestBlueNoise:
   def test_mask_properties(self):
     from etx_tracer_tpu.core import bluenoise
     mask = np.asarray(bluenoise.mask_array())
-    assert mask.shape == (64, 64)
+    n = bluenoise._MASK_SIZE
+    assert mask.shape == (n, n)
     # ranks form a permutation of (k+0.5)/N
     vals = np.sort(mask.reshape(-1))
-    want = (np.arange(64 * 64) + 0.5) / (64 * 64)
+    want = (np.arange(n * n) + 0.5) / (n * n)
     np.testing.assert_allclose(vals, want, atol=1e-6)
     # blue noise: neighboring ranks decorrelated -> high-frequency energy;
     # check neighbor difference is larger than for white noise on average

@@ -64,11 +64,24 @@ class VCMOptions:
   # held thousands of photons and the scan is gather-bound on TPU. 0 = no
   # cap (the reference CPU scans every photon in range).
   max_photons_per_cell: int = 16
+  # BDPTFast analogue (bidirectional.cxx:323-331,1079-1233): approximate
+  # MIS weights that substitute each vertex's REVERSE pdf with its forward
+  # pdf (already computed by the paired evaluate/sample call). The same
+  # approximation applies at every site a given vertex's reverse pdf
+  # appears, so the weights still partition unity and the estimator stays
+  # unbiased — variance re-balances slightly. Skips every reverse-pdf
+  # BSDF dispatch (the expensive half of connection/merge evals).
+  fast_mis: bool = False
 
 
 def bdpt_options() -> VCMOptions:
   """BDPT = VCM without merging (bidirectional.cxx BDPTFull analogue)."""
   return VCMOptions(enable_merging=False)
+
+
+def bdpt_fast_options() -> VCMOptions:
+  """BDPTFast analogue: approximate MIS weights, no reverse-pdf evals."""
+  return VCMOptions(enable_merging=False, fast_mis=True)
 
 
 def light_tracing_options() -> VCMOptions:
@@ -290,7 +303,9 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     # event). Storage additionally requires a free slot; camera connections
     # do NOT (deep vertices splat even when the slot array is full).
     storable = (upd & ~is_delta_mat) | medium_event
-    store = storable & (slot < v_slots)
+    needs_verts = options.connect_vertices or options.enable_merging
+    store = storable & (slot < v_slots) if needs_verts \
+        else jnp.zeros(r, bool)
     vslot = jnp.minimum(slot, v_slots - 1)
 
     def msel(surf_v, med_v):
@@ -332,8 +347,9 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     conn_pos = v_pos  # surface hit or sampled medium position
     cam = camera_mod.sample_film(scene.camera, conn_pos, lens_rnd)
     w_o = cam.direction
-    bsdf_val, _ = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
-    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+    bsdf_val, bsdf_fwd_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
+    rev_pdf = bsdf_fwd_pdf if options.fast_mis else \
+        bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
     if config.has_media:
       # medium lanes scatter with the phase function (vcm_connect_to_camera
       # camera_at_medium branch)
@@ -409,7 +425,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     cont, new_thr = pt._random_continue(new_depth, config.rr_start, state.eta * bs.eta, rr_rnd, new_thr)
 
     cos_bsdf = jnp.abs(em.dot(nrm, bs.w_o))
-    rev2 = bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
+    rev2 = bs.pdf if options.fast_mis else \
+        bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
     nd_vc = jnp.where(bs.is_delta, state.d_vc * cos_bsdf,
                       (cos_bsdf / jnp.maximum(bs.pdf, 1e-20))
                       * (state.d_vc * rev2 + state.d_vcm + vm_weight))
@@ -733,7 +750,8 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
     lam_valid = cos_sgn > em.kEpsilon
     foc = alb[None] * em.kInvPi * lam_valid[..., None]       # f/cos
     bsdf_pdf = jnp.where(lam_valid, cos_sgn * em.kInvPi, 0.0)
-    rev_pdf = jnp.broadcast_to(rev_lambert[None], (8, r))
+    rev_pdf = bsdf_pdf if options.fast_mis else \
+        jnp.broadcast_to(rev_lambert[None], (8, r))
 
     w_light = v_d_vcm * vc_weight + v_d_vm * bsdf_pdf
     w_camera = w_cam_base[None] + state.d_vm[None] * rev_pdf
@@ -772,7 +790,8 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
     w_in = grid.w_i[j]
     bsdf_val, bsdf_pdf = bsdf_dispatch.evaluate(scene, sd_hard, -w_in,
                                                 spectral, classes, variations)
-    rev_pdf = bsdf_dispatch.reverse_pdf(scene, sd_hard, -w_in, spectral, classes)
+    rev_pdf = bsdf_pdf if options.fast_mis else \
+        bsdf_dispatch.reverse_pdf(scene, sd_hard, -w_in, spectral, classes)
     cos_o = jnp.abs(em.dot(sd.nrm, -w_in))
     foc = bsdf_val / jnp.maximum(cos_o, 1e-6)[..., None]
     contrib = weighted_contrib(j, dist2, bsdf_pdf, rev_pdf, foc, (r,))
@@ -993,7 +1012,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                                          classes=config.emitter_classes)
       w_o = esmp.direction
       b_val, b_pdf = bsdf_dispatch.evaluate(scene, sd, w_o, spectral, classes, config.diffuse_variations)
-      rev = bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
+      rev = b_pdf if options.fast_mis else \
+          bsdf_dispatch.reverse_pdf(scene, sd, w_o, spectral, classes)
       b_val, b_pdf, rev = _sss_override(b_val, b_pdf, rev, w_o)
       if config.has_media:
         # camera_at_medium: phase function in place of the BSDF
@@ -1074,7 +1094,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         w_o = d / jnp.sqrt(dist2)[..., None]
         # camera side
         cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd_eval, w_o, spectral, classes, config.diffuse_variations)
-        c_rev = bsdf_dispatch.reverse_pdf(scene, sd_eval, w_o, spectral, classes)
+        c_rev = cb_pdf if options.fast_mis else \
+            bsdf_dispatch.reverse_pdf(scene, sd_eval, w_o, spectral, classes)
         cb_val, cb_pdf, c_rev = _sss_override(cb_val, cb_pdf, c_rev, w_o)
         if config.has_media:
           # camera_at_medium: phase function replaces the BSDF
@@ -1089,7 +1110,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                           geo_n=lv_geo, tex=take(verts.uv), wl=state.wl,
                           medium=state.medium, mat=lv_mat)
         lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes, config.diffuse_variations)
-        l_rev = bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
+        l_rev = lb_pdf if options.fast_mis else \
+            bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
         w_dot_l = -em.dot(lv_nrm, w_o)
         fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
         vmw_pair = jnp.full(r, vm_weight)
@@ -1180,7 +1202,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
 
         cb_val, cb_pdf = bsdf_dispatch.evaluate(
             scene_big, sd_big, w_o, spectral, classes, config.diffuse_variations)
-        c_rev = bsdf_dispatch.reverse_pdf(scene_big, sd_big, w_o, spectral, classes)
+        c_rev = cb_pdf if options.fast_mis else \
+            bsdf_dispatch.reverse_pdf(scene_big, sd_big, w_o, spectral, classes)
         if config.has_subsurface:
           sss_ok_b = rp(sss_ok)
           white = em.kInvPi * jnp.maximum(
@@ -1199,7 +1222,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                           medium=rp(state.medium), mat=lv_mat)
         lb_val, lb_pdf = bsdf_dispatch.evaluate(
             scene_big, lsd, -w_o, spectral, classes, config.diffuse_variations)
-        l_rev = bsdf_dispatch.reverse_pdf(scene_big, lsd, -w_o, spectral, classes)
+        l_rev = lb_pdf if options.fast_mis else \
+            bsdf_dispatch.reverse_pdf(scene_big, lsd, -w_o, spectral, classes)
         w_dot_l = -jnp.sum(lv_nrm * w_o, axis=-1)
         fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
         cam_factor = jnp.abs(jnp.sum(rp(nrm) * w_o, axis=-1))
@@ -1284,7 +1308,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     cont, new_thr = pt._random_continue(new_depth, config.rr_start,
                                         state.eta * bs.eta, rr_rnd, new_thr)
     cos_bsdf = jnp.abs(em.dot(nrm, bs.w_o))
-    rev2 = bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
+    rev2 = bs.pdf if options.fast_mis else \
+        bsdf_dispatch.reverse_pdf(scene, sd, bs.w_o, spectral, classes)
     if config.has_subsurface:
       # vcm_next_ray subsurface branch: rev pdf of the exit cosine lobe
       # (vcm_shared.hxx:260-262)

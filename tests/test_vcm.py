@@ -252,3 +252,34 @@ class TestDepthCapLifted:
       imgs.append(np.asarray(fs.camera))
     assert imgs[0].sum() > 0
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-6)
+
+
+class TestFastMIS:
+  """BDPTFast analogue (bidirectional.cxx:323-331): approximate MIS that
+  drops reverse-pdf terms CONSISTENTLY across every strategy — the
+  weights still partition unity, so the estimator stays unbiased."""
+
+  def test_bdpt_fast_agrees_with_pt(self):
+    from etx_tracer_tpu.scene import cornell
+    scene, config = cornell.build_cornell_box(
+        film_size=(16, 16), diffuse_only=True, max_path_length=4).build()
+    fs_pt = path_tracing.render(scene, config, iterations=48)
+    pt_img = np.asarray(film_mod.result_image(fs_pt))
+    fs = film_mod.allocate(16, 16)
+    for i in range(48):
+      fs = vcm.render_iteration(scene, config, vcm.bdpt_fast_options(), fs, i)
+    img = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(img).all()
+    ratio = img.mean() / pt_img.mean()
+    assert 0.85 < ratio < 1.15, ratio
+
+  def test_fast_mis_full_vcm_finite(self):
+    import dataclasses
+    from etx_tracer_tpu.scene import cornell
+    scene, config = cornell.build_cornell_box(
+        film_size=(16, 16), diffuse_only=False, max_path_length=5).build()
+    opts = dataclasses.replace(vcm.VCMOptions(), fast_mis=True)
+    fs = film_mod.allocate(16, 16)
+    fs = vcm.render_iteration(scene, config, opts, fs, 0)
+    img = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(img).all() and img.sum() > 0

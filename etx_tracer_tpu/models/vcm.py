@@ -640,6 +640,10 @@ def _segment_range(grid: MergeGrid, cell):
 _MERGE_SCAN = 32
 _MERGE_SCAN_CAP = 128
 
+# camera-pass compaction cascade floor: films below this lane count run a
+# single phase (tests at 16^2 keep exact single-phase behavior)
+_CAMERA_CASCADE_MIN = 4096
+
 
 def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
                  radius, vc_weight, options: VCMOptions, classes, spectral: bool,
@@ -871,8 +875,14 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
   max_depth = config.max_path_length
 
   base_scene = scene
+  wl0 = wl
 
-  def body(carry):
+  def make_body(verts, r):
+   # compaction-phase factory: `verts` and the lane count shadow the
+   # outer full-width versions, so the same body text serves every
+   # cascade width (compaction keeps lane-aligned connections: verts
+   # rows travel with their camera lanes)
+   def body(carry):
     step, state, merged_total = carry
     scene = base_scene
     if spectral:
@@ -1358,16 +1368,53 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
                        gathered=state.gathered, merged=merged_total,
                        throughput=jnp.where(amask, state.throughput, 0.0))
     return step + 1, state, merged_total
+   return body
 
-  def loop_cond(carry):
-    step, state, _ = carry
-    return (step < max_depth) & jnp.any(state.alive)
+  # COMPACTION CASCADE (render_samples_static's pattern): alive lanes decay
+  # geometrically through the RR tail, but traces and evals cost O(width)
+  # regardless — when the survivor count drops below the next width the
+  # pool compacts 4x, banking each lane's accumulators by original index.
+  widths = [r]
+  while widths[-1] // 4 >= _CAMERA_CASCADE_MIN and len(widths) < 4:
+    widths.append(widths[-1] // 4)
 
-  _, state, merged_total = jax.lax.while_loop(
-      loop_cond, body, (jnp.int32(0), state, merged_total))
+  orig = jnp.arange(r)
+  out_gathered = jnp.zeros((r, c))
+  out_merged = jnp.zeros((r, 3))
+  verts_p = verts
+  step = jnp.int32(0)
+  for li, width in enumerate(widths):
+    last = li == len(widths) - 1
+    body = make_body(verts_p, width)
+    if last:
+      def cond(carry):
+        return (carry[0] < max_depth) & jnp.any(carry[1].alive)
+    else:
+      thr_w = widths[li + 1]
+      def cond(carry, _t=thr_w):
+        return (carry[0] < max_depth) & \
+            (jnp.sum(carry[1].alive.astype(jnp.int32)) > _t)
+    step, state, merged_total = jax.lax.while_loop(
+        cond, body, (step, state, merged_total))
+    out_gathered = out_gathered.at[orig].add(state.gathered)
+    out_merged = out_merged.at[orig].add(merged_total)
+    if last:
+      break
+    nw = widths[li + 1]
+    order = jnp.argsort(~state.alive)  # alive lanes first (stable)
+    sel = order[:nw]
 
-  gathered_rgb = spx.to_film_rgb(state.gathered, state.wl, spectral)
-  return gathered_rgb + merged_total * vm_normalization
+    def take(x):
+      return x[sel] if getattr(x, "ndim", 0) else x
+
+    state = jax.tree_util.tree_map(take, state)._replace(
+        gathered=jnp.zeros((nw, c)))
+    merged_total = jnp.zeros((nw, 3))
+    verts_p = jax.tree_util.tree_map(lambda a: a[sel], verts_p)
+    orig = orig[sel]
+
+  gathered_rgb = spx.to_film_rgb(out_gathered, wl0, spectral)
+  return gathered_rgb + out_merged * vm_normalization
 
 
 def radius_schedule(scene, config, options: VCMOptions, iteration):

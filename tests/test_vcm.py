@@ -283,3 +283,25 @@ class TestFastMIS:
     fs = vcm.render_iteration(scene, config, opts, fs, 0)
     img = np.asarray(film_mod.result_image(fs))
     assert np.isfinite(img).all() and img.sum() > 0
+
+
+def test_camera_cascade_matches_single_phase(monkeypatch):
+  """The camera-pass compaction cascade (active above
+  _CAMERA_CASCADE_MIN lanes) must reproduce the single-phase result —
+  compaction only drops dead lanes and banks accumulators exactly."""
+  scene, config = cornell.build_cornell_box(
+      film_size=(32, 32), diffuse_only=False, max_path_length=8).build()
+  opts = vcm.VCMOptions()
+
+  fs1 = film_mod.allocate(32, 32)
+  fs1 = vcm.render_iteration(scene, config, opts, fs1, 0)
+  single = np.asarray(fs1.camera)
+
+  monkeypatch.setattr(vcm, "_CAMERA_CASCADE_MIN", 64)
+  vcm._render_iteration_jit._clear_cache()
+  fs2 = film_mod.allocate(32, 32)
+  fs2 = vcm.render_iteration(scene, config, opts, fs2, 0)
+  cascaded = np.asarray(fs2.camera)
+  vcm._render_iteration_jit._clear_cache()
+
+  np.testing.assert_allclose(cascaded, single, rtol=1e-4, atol=1e-6)

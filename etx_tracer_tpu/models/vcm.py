@@ -237,10 +237,17 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
   max_depth = config.max_path_length
 
   base_scene = scene
+  wl0 = state.wl
 
-  def body(carry):
-    slot, state, verts, splat_img = carry
-    r = n_paths
+  def make_body(r, with_verts):
+   # with_verts=False: the tail phases past v_slots depths store nothing
+   # lane-indexed, so the pool can compact freely (see cascade below)
+   def body(carry):
+    if with_verts:
+      slot, state, verts, splat_img = carry
+    else:
+      slot, state, splat_img = carry
+      verts = None
     scene = base_scene
     if spectral:
       # per-step SPD table (see path_tracing.pt_step): one MXU matmul
@@ -323,7 +330,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
       return field.at[:, vslot].set(jnp.where(m, value, field[:, vslot]))
 
     zero3 = jnp.zeros((r, 3))
-    verts = LightVertices(
+    if with_verts:
+      verts = LightVertices(
         pos=put(verts.pos, v_pos),
         nrm=put(verts.nrm, msel(nrm, zero3) if config.has_media else nrm),
         geo_n=put(verts.geo_n, msel(trows.geo_n, zero3) if config.has_media else trows.geo_n),
@@ -336,10 +344,12 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         d_vm=put(verts.d_vm, state.d_vm),
         mat=put(verts.mat, jnp.where(medium_event, 0, trows.mat) if config.has_media else trows.mat),
         path_length=put(verts.path_length, state.path_depth + 1),
-        valid=verts.valid.at[:, slot].set(store),
-        is_medium=verts.is_medium.at[:, slot].set(
-            jnp.where(store, medium_event, verts.is_medium[:, slot])),
-        medium=put(verts.medium, state.medium))
+        # clamped-index writes past v_slots must PRESERVE (an unmasked set
+        # at the clamped last slot erased its valid flag on deep walks)
+        valid=verts.valid.at[:, vslot].set(verts.valid[:, vslot] | store),
+        is_medium=verts.is_medium.at[:, vslot].set(
+            jnp.where(store, medium_event, verts.is_medium[:, vslot])),
+          medium=put(verts.medium, state.medium))
 
     # --- connect to camera (vcm_connect_to_camera, :463-536) ---
     rng_state = state.rng_state
@@ -494,15 +504,52 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
                        throughput=jnp.where(amask, state.throughput, 0.0),
                        d_vcm=jnp.where(state.alive, state.d_vcm, 0.0),
                        splat_img=splat_img)
-    return slot + 1, state, verts, splat_img
+    if with_verts:
+      return slot + 1, state, verts, splat_img
+    return slot + 1, state, splat_img
+   return body
 
-  def cond(carry):
-    slot, state, _, _ = carry
-    return (slot < max_depth) & jnp.any(state.alive)
+  # phase A: lane-aligned vertex stores for the first v_slots depths
+  needs_verts = options.connect_vertices or options.enable_merging
+  phase_a = min(v_slots, max_depth) if needs_verts else 0
+  slot = jnp.int32(0)
+  if phase_a > 0:
+    body_a = make_body(n_paths, True)
 
-  _, state, verts, splat_img = jax.lax.while_loop(
-      cond, body, (jnp.int32(0), state, verts, splat_img))
-  return verts, splat_img, state
+    def cond_a(carry):
+      return (carry[0] < phase_a) & jnp.any(carry[1].alive)
+
+    slot, state, verts, splat_img = jax.lax.while_loop(
+        cond_a, body_a, (slot, state, verts, splat_img))
+
+  # tail cascade: nothing past phase A is lane-indexed (stores stopped;
+  # splats scatter by film pixel), so dead lanes compact away freely
+  widths = [n_paths]
+  while widths[-1] // 4 >= _CAMERA_CASCADE_MIN and len(widths) < 4:
+    widths.append(widths[-1] // 4)
+  for li, width in enumerate(widths):
+    last = li == len(widths) - 1
+    body_t = make_body(width, False)
+    if last:
+      def cond_t(carry):
+        return (carry[0] < max_depth) & jnp.any(carry[1].alive)
+    else:
+      thr_w = widths[li + 1]
+      def cond_t(carry, _t=thr_w):
+        return (carry[0] < max_depth) & \
+            (jnp.sum(carry[1].alive.astype(jnp.int32)) > _t)
+    slot, state, splat_img = jax.lax.while_loop(
+        cond_t, body_t, (slot, state, splat_img))
+    if last:
+      break
+    sel = jnp.argsort(~state.alive)[: widths[li + 1]]
+    state = jax.tree_util.tree_map(
+        lambda x: x[sel] if getattr(x, "ndim", 0) else x, state)
+
+  # callers read .wl per ORIGINAL light path (merge-grid wavelengths);
+  # the cascade may have narrowed the live state, so restore the
+  # full-width wavelength array (wl never changes during the walk)
+  return verts, splat_img, state._replace(wl=wl0)
 
 
 # ---------------------------------------------------------------------------

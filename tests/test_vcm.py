@@ -305,3 +305,15 @@ def test_camera_cascade_matches_single_phase(monkeypatch):
   vcm._render_iteration_jit._clear_cache()
 
   np.testing.assert_allclose(cascaded, single, rtol=1e-4, atol=1e-6)
+
+
+def test_deep_walk_preserves_last_vertex_slot():
+  """Regression: walks deeper than the vertex capacity used to ERASE the
+  last slot's valid flag (the clamped out-of-bounds .at[:, slot].set wrote
+  False there every post-capacity step)."""
+  scene, config = cornell.build_cornell_box(
+      film_size=(16, 16), diffuse_only=True, max_path_length=16).build()
+  opts = dataclasses.replace(vcm.VCMOptions(), max_stored_vertices=2)
+  verts, _, _ = vcm.light_pass(scene, config, opts, 0, 256, 1.0, 1.0)
+  valid = np.asarray(verts.valid)
+  assert valid[:, 1].sum() > 0, "deep walk erased the last vertex slot"

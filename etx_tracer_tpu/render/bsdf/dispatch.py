@@ -221,11 +221,23 @@ def _principled_variants(scene, sd):
   return sdc, sd
 
 
+def _principled_factors(scene, sd):
+  """Image-modulated metalness/transmission (glTF metallicRoughness B
+  channel and KHR transmission textures; scene_representation.cxx:2277-2283
+  channel selects — split to greyscale images at load, channel 0 here)."""
+  from etx_tracer_tpu.render import images as images_mod
+  ch0 = jnp.zeros_like(sd.mat.metalness_img)
+  metal = sd.mat.metalness * images_mod.scalar_image(
+      scene, sd.mat.metalness_img, sd.tex, ch0, 1.0)
+  trans = sd.mat.transmission * images_mod.scalar_image(
+      scene, sd.mat.transmission_img, sd.tex, ch0, 1.0)
+  return metal, trans
+
+
 def _principled_pdf(scene, sd, w_o, spectral):
   """Walk-free principled pdf: the same metal/transmission mixture as
   _principled_evaluate but over the analytic per-lobe pdfs."""
-  metal = sd.mat.metalness
-  trans = sd.mat.transmission
+  metal, trans = _principled_factors(scene, sd)
   sdc, sdd = _principled_variants(scene, sd)
   p_c = lobes.conductor_pdf(scene, sdc, w_o, spectral)
   p_d = lobes.dielectric_pdf(scene, sdd, w_o, spectral)
@@ -235,8 +247,7 @@ def _principled_pdf(scene, sd, w_o, spectral):
 
 
 def _principled_sample(scene, sd, rnd, spectral, mask=None):
-  metal = sd.mat.metalness
-  trans = sd.mat.transmission
+  metal, trans = _principled_factors(scene, sd)
   sdc, sdd = _principled_variants(scene, sd)
   pick_metal = rnd[..., 5] < metal
   pick_trans = rnd[..., 6] < trans
@@ -252,8 +263,7 @@ def _principled_sample(scene, sd, rnd, spectral, mask=None):
 
 
 def _principled_evaluate(scene, sd, w_o, spectral, mask=None):
-  metal = sd.mat.metalness
-  trans = sd.mat.transmission
+  metal, trans = _principled_factors(scene, sd)
   sdc, sdd = _principled_variants(scene, sd)
   w_c = metal
   w_d = (1.0 - metal) * trans

@@ -64,6 +64,34 @@ class _Gltf:
         with open(os.path.join(self.base_dir, uri), "rb") as f:
           self._buffers.append(f.read())
 
+  def view_bytes(self, view_index: int) -> bytes:
+    view = self.doc["bufferViews"][view_index]
+    buf = self._buffers[view["buffer"]]
+    o = view.get("byteOffset", 0)
+    return buf[o:o + view["byteLength"]]
+
+  def image_pixels(self, image_index: int) -> np.ndarray | None:
+    """Decode images[i] -> (H,W,4) float32 [0,1], no colour conversion.
+
+    Mirrors the reference's tinygltf image pool fill
+    (scene_representation.cxx:2170-2243). PNG decodes through our own
+    codec; JPEG sources are skipped (returns None) rather than failing
+    the whole load."""
+    from etx_tracer_tpu.utils import image_io
+    img = self.doc["images"][image_index]
+    if "bufferView" in img:
+      data = self.view_bytes(img["bufferView"])
+    else:
+      uri = img.get("uri", "")
+      if uri.startswith("data:"):
+        data = base64.b64decode(uri.split(",", 1)[1])
+      else:
+        with open(os.path.join(self.base_dir, uri), "rb") as f:
+          data = f.read()
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+      return image_io.decode_png(data)
+    return None  # JPEG/WebP: unsupported codec, texture skipped
+
   def accessor(self, index: int) -> np.ndarray:
     acc = self.doc["accessors"][index]
     view = self.doc["bufferViews"][acc["bufferView"]]
@@ -108,6 +136,53 @@ def load_gltf(path: str, builder: SceneBuilder | None = None) -> SceneBuilder:
   g = _Gltf(path)
   doc = g.doc
 
+  # ---- textures: decode once per (source image, content kind) ----
+  # glTF stores metallic-roughness packed into one linear image (G =
+  # roughness, B = metalness). The reference keeps the packed image and a
+  # per-slot channel select (scene_representation.cxx:2277-2283); on TPU
+  # the material row carries no channel field, so the split happens at
+  # load time into two greyscale images — identical lookups, channel 0.
+  textures = doc.get("textures", [])
+  _tex_cache: dict = {}
+
+  def tex_image(tex_index: int, kind: str) -> int:
+    """builder image index for textures[tex_index], or -1.
+
+    kind: 'srgb' (baseColor/emissive), 'linear' (normal), 'rough'/'metal'
+    (G/B greyscale splits of a metallicRoughness image), 'trans' (R)."""
+    if tex_index is None or tex_index < 0 or tex_index >= len(textures):
+      return -1
+    src = textures[tex_index].get("source", -1)
+    if src < 0:
+      return -1
+    key = (src, kind)
+    if key in _tex_cache:
+      return _tex_cache[key]
+    from etx_tracer_tpu.utils import image_io
+    if (src, "raw") in _tex_cache:
+      pixels = _tex_cache[(src, "raw")]
+    else:
+      pixels = g.image_pixels(src)
+      _tex_cache[(src, "raw")] = pixels
+    if pixels is None:
+      _tex_cache[key] = -1
+      return -1
+    if kind == "srgb":
+      pixels = image_io.srgb_image_to_linear(pixels)
+    elif kind in ("rough", "metal", "trans"):
+      ch = {"trans": 0, "rough": 1, "metal": 2}[kind]
+      grey = pixels[..., ch:ch + 1]
+      if kind == "rough":
+        # material rows store GGX alpha = roughness^2; the scalar factor is
+        # squared at import below, so squaring the texel keeps
+        # alpha = (factor * texel)^2 exactly
+        grey = grey * grey
+      pixels = np.concatenate([grey, grey, grey,
+                               np.ones_like(grey)], -1).astype(np.float32)
+    idx = b.add_image(pixels)
+    _tex_cache[key] = idx
+    return idx
+
   # ---- materials: PBR metallic-roughness -> Principled ----
   mat_map: list[int] = []
   for gm in doc.get("materials", []):
@@ -120,21 +195,41 @@ def load_gltf(path: str, builder: SceneBuilder | None = None) -> SceneBuilder:
     if "KHR_materials_emissive_strength" in ext:
       emissive = emissive * ext["KHR_materials_emissive_strength"].get("emissiveStrength", 1.0)
     transmission = 0.0
+    trans_img = -1
     if "KHR_materials_transmission" in ext:
       transmission = ext["KHR_materials_transmission"].get("transmissionFactor", 0.0)
+      trans_img = tex_image(
+          ext["KHR_materials_transmission"].get("transmissionTexture", {}).get("index", -1),
+          "trans")
+
+    base_img = tex_image(pbr.get("baseColorTexture", {}).get("index", -1), "srgb")
+    mr_tex = pbr.get("metallicRoughnessTexture", {}).get("index", -1)
+    rough_img = tex_image(mr_tex, "rough")
+    metal_img = tex_image(mr_tex, "metal")
+    nrm_tex = gm.get("normalTexture", {})
+    normal_img = tex_image(nrm_tex.get("index", -1), "linear")
+    emis_img = tex_image(gm.get("emissiveTexture", {}).get("index", -1), "srgb")
 
     scattering = b.add_rgb_reflectance(base[:3])
     desc = MaterialDesc(
         name=gm.get("name", f"gltf_{len(mat_map)}"),
         cls=st.MaterialClass.Principled,
         scattering_spec=scattering,
+        scattering_img=base_img,
         reflectance_spec=1,
+        reflectance_img=base_img,
         roughness=(roughness ** 2, roughness ** 2),
+        roughness_img=rough_img,
         metalness=float(metallic),
+        metalness_img=metal_img,
         transmission=float(transmission),
+        transmission_img=trans_img,
+        normal_img=normal_img,
+        normal_scale=float(nrm_tex.get("scale", 1.0)) if normal_img >= 0 else 1.0,
         two_sided=bool(gm.get("doubleSided", False)))
     if float(np.max(emissive)) > 0.0:
       desc.emission_spec = b.add_spectrum(sp.SpectralDistribution.rgb_luminance(emissive))
+      desc.emission_img = emis_img
     mat_map.append(b.add_material(desc))
 
   default_mat = None

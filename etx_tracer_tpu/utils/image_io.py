@@ -154,6 +154,14 @@ def load_png(path: str) -> np.ndarray:
   """Decode PNG -> (H,W,4) float32 linear-ish [0,1] (no sRGB conversion)."""
   with open(path, "rb") as f:
     data = f.read()
+  return decode_png(data)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+  """Decode PNG bytes -> (H,W,4) float32 [0,1] (no sRGB conversion).
+
+  Split out from load_png so in-memory sources (glTF bufferView images,
+  data: URIs) share the codec."""
   assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
   pos = 8
   idat = b""
@@ -287,16 +295,21 @@ def load_hdr(path: str) -> np.ndarray:
   return np.concatenate([rgb, np.ones_like(rgb[..., :1])], -1).astype(np.float32)
 
 
+def srgb_image_to_linear(img: np.ndarray) -> np.ndarray:
+  """(H,W,4) sRGB-encoded RGB + linear alpha -> all-linear float32."""
+  rgb = img[..., :3]
+  return np.concatenate([
+      np.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4),
+      img[..., 3:4]], -1).astype(np.float32)
+
+
 def load_image(path: str, srgb_to_linear: bool = True) -> np.ndarray:
   """Load PNG/HDR/EXR into (H,W,4) float32 linear, top-down rows."""
   low = path.lower()
   if low.endswith(".png"):
     img = load_png(path)
     if srgb_to_linear:
-      rgb = img[..., :3]
-      img = np.concatenate([
-          np.where(rgb <= 0.04045, rgb / 12.92, ((rgb + 0.055) / 1.055) ** 2.4),
-          img[..., 3:4]], -1).astype(np.float32)
+      img = srgb_image_to_linear(img)
     return img
   if low.endswith((".hdr", ".pic")):
     return load_hdr(path)

@@ -29,3 +29,10 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; axon sitecustomize re-forced the TPU backend")
+
+
+def pytest_configure(config):
+  # Heavy cross-integrator / media / SSS tests carry this marker so local
+  # iteration can run `-m "not slow"`; the full suite (and the driver)
+  # still runs everything.
+  config.addinivalue_line("markers", "slow: multi-minute compile-heavy test")

@@ -1,0 +1,263 @@
+"""Micro-benchmarks for round-3 perf work: trace kernels, sorts, dispatch.
+
+Run on the real chip: `python -m benchmarks.micro trace|sort|dispatch|mxu`.
+
+Methodology: the device tunnel costs ~27ms per host sync and ~1.5ms per
+dispatched call, so every measurement CHAINS the op K times inside one jit
+(data-dependent, so steps serialize on device) and reports device time/op.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _chain_time(step, state0, n_iter=10, reps=3):
+  """step: state -> state (jittable). Returns seconds per step on device."""
+
+  @jax.jit
+  def run(state):
+    return jax.lax.fori_loop(0, n_iter, lambda i, s: step(s), state)
+
+  out = run(state0)
+  jax.block_until_ready(out)
+  np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+  t0 = time.time()
+  for _ in range(reps):
+    out = run(state0)
+  np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+  return (time.time() - t0) / (reps * n_iter)
+
+
+def _rays(scene, num_r, kind, seed=0):
+  """Ray sets: 'primary' (coherent camera rays), 'bounce' (origins on
+  surfaces, random hemisphere), 'random' (fully incoherent)."""
+  rs = np.random.RandomState(seed)
+  c = np.asarray(scene.bsphere_center)
+  r = float(scene.bsphere_radius)
+  if kind == "primary":
+    o = np.tile(c + np.array([0, 0, 2.2 * r]), (num_r, 1)).astype(np.float32)
+    side = int(np.sqrt(num_r))
+    xs = (np.arange(num_r) % side) / side - 0.5
+    ys = (np.arange(num_r) // side % side) / side - 0.5
+    d = np.stack([xs * 0.8, ys * 0.8, -np.ones(num_r)], 1).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+  elif kind == "bounce":
+    u = rs.normal(size=(num_r, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    o = (c + u * r * 0.7).astype(np.float32)
+    d = rs.normal(size=(num_r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+  else:  # random
+    o = (c + rs.uniform(-0.9, 0.9, (num_r, 3)) * r).astype(np.float32)
+    d = rs.normal(size=(num_r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+  t_min = np.full(num_r, 1e-4, np.float32)
+  t_max = np.full(num_r, 1e30, np.float32)
+  return (jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_min),
+          jnp.asarray(t_max))
+
+
+def _trace_chain(trace_fn, o, d, tmin, tmax):
+  """Chain traces with a data dependency through the origin jitter."""
+
+  def step(state):
+    o_cur, acc = state
+    hit = trace_fn(o_cur, d, tmin, tmax)
+    t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
+    return o_cur + 0.0 * t[:, None], acc + jnp.sum(t)
+
+  return step, (o, jnp.float32(0))
+
+
+def bench_trace():
+  from benchmarks import scenes
+  from etx_tracer_tpu.ops import pallas_trace
+
+  scene, config = scenes.bigscene((256, 256)).build()
+  num_t = scene.tri_v0.shape[0]
+  print(f"bigscene tris={num_t} nodes={scene.bvh.node_min.shape[0]} "
+        f"fat={None if scene.bvh.fat_rows is None else scene.bvh.fat_rows.shape}")
+
+  num_r = 1 << 16
+  for kind in ("primary", "bounce", "random"):
+    o, d, tmin, tmax = _rays(scene, num_r, kind)
+    for rb in (16, 8):
+      fn = lambda o, d, tmin, tmax, rb=rb: pallas_trace.intersect_bvh_fat_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o, d, tmin, tmax, rb=rb)
+      step, st = _trace_chain(fn, o, d, tmin, tmax)
+      dt = _chain_time(step, st)
+      print(f"fat  {kind:8s} rb={rb:2d}: {dt*1e3:7.2f} ms  "
+            f"{num_r/dt/1e6:8.2f} Mrays/s")
+    fn = lambda o, d, tmin, tmax: pallas_trace.intersect_pallas(
+        scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, tmin, tmax)
+    step, st = _trace_chain(fn, o, d, tmin, tmax)
+    dt = _chain_time(step, st)
+    print(f"brute {kind:8s}      : {dt*1e3:7.2f} ms  "
+          f"{num_r/dt/1e6:8.2f} Mrays/s")
+
+
+def bench_trace_sorted():
+  """Fat kernel on rays pre-sorted by Morton-of-origin+octant (device sort
+  inside the chain, so its cost is included)."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.ops import pallas_trace, trace as trace_ops
+
+  scene, config = scenes.bigscene((256, 256)).build()
+  num_r = 1 << 16
+  for kind in ("bounce", "random"):
+    o, d, tmin, tmax = _rays(scene, num_r, kind)
+
+    def trace_sorted(o_cur, d, tmin, tmax):
+      key = trace_ops._ray_sort_keys(scene.bvh, o_cur, d).astype(jnp.int32)
+      perm = jnp.argsort(key)
+      hs = pallas_trace.intersect_bvh_fat_pallas(
+          scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+          o_cur[perm], d[perm], tmin[perm], tmax[perm], rb=16)
+      inv = jnp.zeros_like(perm).at[perm].set(
+          jnp.arange(num_r, dtype=perm.dtype))
+      return trace_ops.Hit(hs.t[inv], hs.tri[inv], hs.u[inv], hs.v[inv])
+
+    step, st = _trace_chain(trace_sorted, o, d, tmin, tmax)
+    dt = _chain_time(step, st)
+    print(f"fat+sort {kind:8s}: {dt*1e3:7.2f} ms  {num_r/dt/1e6:8.2f} Mrays/s")
+
+
+def bench_sort():
+  """Device-time sort/permute costs at wavefront widths."""
+  for n in (1 << 14, 1 << 16, 1 << 17):
+    keys0 = jnp.asarray(np.random.randint(0, 1 << 30, n, np.int32))
+    payload0 = jnp.asarray(np.random.rand(n, 16).astype(np.float32))
+
+    def step_sort(state):
+      keys, acc = state
+      k2, v = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
+      return keys ^ (v[0] & 1), acc + k2[0]
+
+    dt = _chain_time(step_sort, (keys0, jnp.int32(0)))
+    print(f"sort_key_val   n={n:7d}: {dt*1e3:7.3f} ms")
+
+    def step_perm(state):
+      p, acc = state
+      q = p[jnp.argsort(p[:, 0])]
+      return q, acc + q[0, 0]
+
+    dt = _chain_time(step_perm, (payload0, jnp.float32(0)))
+    print(f"argsort+permute(n,16) n={n:7d}: {dt*1e3:7.3f} ms")
+
+    def step_cumsum(state):
+      k, acc = state
+      c = jnp.cumsum(k)
+      return k ^ (c[-1] & 1), acc + c[0]
+
+    dt = _chain_time(step_cumsum, (keys0, jnp.int32(0)))
+    print(f"cumsum         n={n:7d}: {dt*1e3:7.3f} ms")
+
+    def step_scatter(state):
+      p, acc = state
+      idx = (p[:, 0] * n).astype(jnp.int32) % n
+      q = jnp.zeros_like(p).at[idx].add(p)
+      return q * 0.5 + p * 0.5, acc + q[0, 0]
+
+    dt = _chain_time(step_scatter, (payload0, jnp.float32(0)))
+    print(f"scatter-add (n,16) n={n:7d}: {dt*1e3:7.3f} ms")
+
+
+def bench_mxu():
+  """MXU candidate shapes for the binned-brute tracer: (R,16)@(16,4T)."""
+  for r, t4 in ((1 << 16, 2048), (1 << 16, 8192), (1 << 14, 2048)):
+    a0 = jnp.asarray(np.random.rand(r, 16).astype(np.float32))
+    b0 = jnp.asarray(np.random.rand(16, t4).astype(np.float32))
+
+    def step(state):
+      a, acc = state
+      out = jnp.dot(a, b0, precision=jax.lax.Precision.HIGHEST)
+      return a + 0.0 * out[:, :16], acc + out[0, 0]
+
+    dt = _chain_time(step, (a0, jnp.float32(0)))
+    flops = 2 * r * 16 * t4
+    print(f"matmul f32 ({r},16)@(16,{t4}): {dt*1e3:7.3f} ms "
+          f"{flops/dt/1e12:6.2f} TFLOP/s")
+
+    def step_ep(state):
+      a, acc = state
+      out = jnp.dot(a, b0, precision=jax.lax.Precision.HIGHEST)
+      det = out[:, 0::4]
+      u = out[:, 1::4]
+      v = out[:, 2::4]
+      tt = out[:, 3::4]
+      s = jnp.sign(det)
+      ok = (u * s >= 0) & (v * s >= 0) & ((u + v) * s <= det * s) & (
+          jnp.abs(det) > 1e-9)
+      t = jnp.where(ok, tt / jnp.where(det == 0, 1.0, det), jnp.inf)
+      j = jnp.argmin(t, axis=-1)
+      best = t[jnp.arange(r), j]
+      return a + 0.0 * best[:, None], acc + jnp.sum(jnp.where(
+          jnp.isfinite(best), best, 0.0))
+
+    dt = _chain_time(step_ep, (a0, jnp.float32(0)))
+    print(f"  +epilogue+argmin          : {dt*1e3:7.3f} ms "
+          f"-> {r*(t4//4)/dt/1e9:6.2f} Gpairs/s")
+
+
+def bench_dispatch():
+  """Per-class cost of BSDF sample over a wavefront (what material sorting
+  can save), measured as device time via chaining."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render.bsdf import dispatch, lobes
+  from etx_tracer_tpu.core import rng as rng_mod
+  from etx_tracer_tpu.ops import trace as trace_ops
+  from etx_tracer_tpu.core import spectrum as sp_mod
+
+  scene, config = scenes.materials((256, 256)).build()
+  state = path_tracing.make_payload(scene, config, 0)
+  r = state.ray_o.shape[0]
+  print(f"wavefront r={r} classes={config.material_classes} "
+        f"spectral={config.spectral}")
+
+  hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
+                                state.t_min, state.t_max)
+  pos, nrm, tan, btn, uv, bc, tri, trows = path_tracing._interpolate_hit(
+      scene, hit, state.ray_d)
+  mat = path_tracing._gather_mat(scene, trows.mat)
+  sd = lobes.ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                         geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                         medium=state.medium, mat=mat)
+  rng_state, rnd0 = rng_mod.next_n(state.rng_state, dispatch.NUM_SAMPLE_RND)
+  sc = scene
+  if config.spectral:
+    sc = scene._replace(
+        spec_at_wl=(state.wl, sp_mod.bank_at_wl(scene.spec_values, state.wl)))
+
+  classes = config.material_classes
+
+  def chain(fn):
+    def step(state):
+      rnd, acc = state
+      out = fn(rnd)
+      w = out.weight if hasattr(out, "weight") else out[0]
+      return rnd + 0.0 * jnp.sum(w), acc + jnp.sum(w)
+    return _chain_time(step, (rnd0, jnp.float32(0)), n_iter=5)
+
+  dt = chain(lambda rnd: dispatch.sample(sc, sd, rnd, config.spectral, classes))
+  print(f"sample all-classes      : {dt*1e3:7.2f} ms")
+  for cls in classes:
+    dt = chain(lambda rnd, cls=cls: dispatch.sample(
+        sc, sd, rnd, config.spectral, (cls,)))
+    print(f"sample class {int(cls):2d}         : {dt*1e3:7.2f} ms")
+  dt = chain(lambda rnd: dispatch.evaluate(
+      sc, sd, -state.ray_d, config.spectral, classes))
+  print(f"evaluate all-classes    : {dt*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+  which = sys.argv[1] if len(sys.argv) > 1 else "trace"
+  dict(trace=bench_trace, trace_sorted=bench_trace_sorted, sort=bench_sort,
+       dispatch=bench_dispatch, mxu=bench_mxu)[which]()

@@ -224,7 +224,12 @@ def _principled_variants(scene, sd):
 def _principled_factors(scene, sd):
   """Image-modulated metalness/transmission (glTF metallicRoughness B
   channel and KHR transmission textures; scene_representation.cxx:2277-2283
-  channel selects — split to greyscale images at load, channel 0 here)."""
+  channel selects — split to greyscale images at load, channel 0 here).
+
+  Intentional deviation from the reference: bsdf_principled.hxx:46/82/108
+  uses the RAW transmission factor (only metalness samples its texture);
+  here transmissionTexture modulates the factor as the KHR_materials_
+  transmission spec requires. Consistent across sample/evaluate/pdf."""
   from etx_tracer_tpu.render import images as images_mod
   ch0 = jnp.zeros_like(sd.mat.metalness_img)
   metal = sd.mat.metalness * images_mod.scalar_image(

@@ -323,7 +323,7 @@ def conductor_sample(scene, sd, rnd, spectral, mask=None):
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
   frame, _ = normal_frame(sd)
-  alpha = _roughness(sd)
+  alpha = _roughness(sd, scene)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
   alpha_c = mf.clamp_alpha(alpha)
   w_i_l = em.to_local(frame, -sd.w_i)  # z > 0
@@ -364,7 +364,7 @@ def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
   frame, _ = normal_frame(sd)
-  alpha = mf.clamp_alpha(_roughness(sd))
+  alpha = mf.clamp_alpha(_roughness(sd, scene))
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
   ok = (w_i_l[..., 2] > em.kEpsilon) & (w_o_l[..., 2] > em.kEpsilon)
@@ -372,7 +372,7 @@ def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
   def fres(cos_t):
     return _fresnel_at(scene, sd, cos_t, spectral)
 
-  rough_max = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1])
+  rough_max = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1])
   walk_mask = ok & (rough_max > kDeltaAlpha)
   if mask is not None:
     walk_mask = walk_mask & mask
@@ -383,7 +383,7 @@ def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
   refl = _reflectance(scene, sd, spectral)
   bsdf = refl * value
   pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
-  delta = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1]) <= kDeltaAlpha
+  delta = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1]) <= kDeltaAlpha
   ok = ok & ~delta
   return jnp.where(ok[..., None], bsdf, 0.0), jnp.where(ok, pdf, 0.0)
 
@@ -391,11 +391,11 @@ def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
 def conductor_pdf(scene, sd, w_o, spectral):
   # analytic MS pdf (bsdf_conductor.hxx:119-136) — no walk instantiation
   frame, _ = normal_frame(sd)
-  alpha = mf.clamp_alpha(_roughness(sd))
+  alpha = mf.clamp_alpha(_roughness(sd, scene))
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
   ok = (w_i_l[..., 2] > em.kEpsilon) & (w_o_l[..., 2] > em.kEpsilon)
-  delta = jnp.maximum(_roughness(sd)[..., 0], _roughness(sd)[..., 1]) <= kDeltaAlpha
+  delta = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1]) <= kDeltaAlpha
   return jnp.where(ok & ~delta, mf.ms_pdf(w_i_l, w_o_l, alpha), 0.0)
 
 
@@ -429,7 +429,7 @@ def _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral):
 
 def dielectric_sample(scene, sd, rnd, spectral, mask=None):
   frame, ent = normal_frame(sd)
-  alpha = _roughness(sd)
+  alpha = _roughness(sd, scene)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
   alpha_c = mf.clamp_alpha(alpha)
   w_i_l = em.to_local(frame, -sd.w_i)
@@ -528,7 +528,7 @@ def dielectric_sample(scene, sd, rnd, spectral, mask=None):
 def dielectric_evaluate(scene, sd, w_o, spectral, mask=None):
   """Rough dielectric eval (Walter 2007 conventions); delta -> zero."""
   frame, ent = normal_frame(sd)
-  alpha = _roughness(sd)
+  alpha = _roughness(sd, scene)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
   alpha_c = mf.clamp_alpha(alpha)
   w_i_l = em.to_local(frame, -sd.w_i)
@@ -587,7 +587,7 @@ def dielectric_evaluate(scene, sd, w_o, spectral, mask=None):
 def dielectric_pdf(scene, sd, w_o, spectral):
   # analytic pdf (DielectricBSDF::pdf) — no walk instantiation
   frame, ent = normal_frame(sd)
-  alpha = _roughness(sd)
+  alpha = _roughness(sd, scene)
   delta = jnp.maximum(alpha[..., 0], alpha[..., 1]) <= kDeltaAlpha
   alpha_c = mf.clamp_alpha(alpha)
   w_i_l = em.to_local(frame, -sd.w_i)
@@ -640,7 +640,7 @@ def plastic_evaluate(scene, sd, w_o, spectral, mask=None):
   cos_o = w_o_l[..., 2]
   ok = (cos_i > em.kEpsilon) & (cos_o > em.kEpsilon)
 
-  alpha = mf.clamp_alpha(_roughness(sd))
+  alpha = mf.clamp_alpha(_roughness(sd, scene))
   m = em.normalize(w_i_l + w_o_l)
   f = _fresnel_at(scene, sd, em.dot(w_i_l, m), spectral)
   f_mono = spx.monochromatic(f, spectral)
@@ -678,7 +678,7 @@ def plastic_evaluate(scene, sd, w_o, spectral, mask=None):
 
 def plastic_sample(scene, sd, rnd, spectral, mask=None):
   frame, _ = normal_frame(sd)
-  alpha = mf.clamp_alpha(_roughness(sd))
+  alpha = mf.clamp_alpha(_roughness(sd, scene))
   w_i_l = em.to_local(frame, -sd.w_i)
   w_i_l = jnp.concatenate([w_i_l[..., :2], jnp.maximum(w_i_l[..., 2:3], 1e-4)], axis=-1)
   m = mf.sample_vndf(rnd[..., 0:2], w_i_l, alpha)
@@ -709,7 +709,7 @@ def plastic_pdf(scene, sd, w_o, spectral):
   cos_i = w_i_l[..., 2]
   cos_o = w_o_l[..., 2]
   ok = (cos_i > em.kEpsilon) & (cos_o > em.kEpsilon)
-  alpha = mf.clamp_alpha(_roughness(sd))
+  alpha = mf.clamp_alpha(_roughness(sd, scene))
   m = em.normalize(w_i_l + w_o_l)
   f_mono = spx.monochromatic(
       _fresnel_at(scene, sd, em.dot(w_i_l, m), spectral), spectral)
@@ -754,7 +754,7 @@ def velvet_evaluate(scene, sd, w_o, spectral):
   m_dot_i = jnp.maximum(0.0, -em.dot(sd.w_i, m))
   ok = (n_dot_o > em.kEpsilon) & (n_dot_i > em.kEpsilon) & (m_dot_o > em.kEpsilon) & (m_dot_i > em.kEpsilon)
 
-  rough = _roughness(sd)
+  rough = _roughness(sd, scene)
   alpha = 0.5 * (rough[..., 0] + rough[..., 1])
   inv_alpha = 1.0 / (em.kEpsilon + alpha)
   m_dot_n = em.dot(m, n)

@@ -90,7 +90,14 @@ class _Gltf:
           data = f.read()
     if data[:8] == b"\x89PNG\r\n\x1a\n":
       return image_io.decode_png(data)
-    return None  # JPEG/WebP: unsupported codec, texture skipped
+    # JPEG/WebP: unsupported codec. Most real-world assets ship JPEG
+    # baseColor maps, so be loud about why the material renders untextured.
+    import sys
+    kind = "JPEG" if data[:2] == b"\xff\xd8" else "unknown-codec"
+    print(f"etx-tracer-tpu: glTF image #{image_index} "
+          f"({img.get('uri', img.get('name', 'embedded'))}): {kind} "
+          "textures are not supported; texture skipped", file=sys.stderr)
+    return None
 
   def accessor(self, index: int) -> np.ndarray:
     acc = self.doc["accessors"][index]
@@ -208,7 +215,12 @@ def load_gltf(path: str, builder: SceneBuilder | None = None) -> SceneBuilder:
     metal_img = tex_image(mr_tex, "metal")
     nrm_tex = gm.get("normalTexture", {})
     normal_img = tex_image(nrm_tex.get("index", -1), "linear")
-    emis_img = tex_image(gm.get("emissiveTexture", {}).get("index", -1), "srgb")
+    # only decode the emissive texture when emission is actually on
+    # (emissiveFactor defaults to [0,0,0]); a decoded-but-unused image would
+    # permanently bloat the padded (I,H,W,4) device bank
+    emis_img = -1
+    if float(np.max(emissive)) > 0.0:
+      emis_img = tex_image(gm.get("emissiveTexture", {}).get("index", -1), "srgb")
 
     scattering = b.add_rgb_reflectance(base[:3])
     desc = MaterialDesc(

@@ -129,6 +129,45 @@ def bench_trace_sorted():
     print(f"fat+sort {kind:8s}: {dt*1e3:7.2f} ms  {num_r/dt/1e6:8.2f} Mrays/s")
 
 
+def bench_trace_oracle():
+  """Upper bound for sorted shared traversal: rays pre-sorted by their TRUE
+  hit (triangle id, or hit-position Morton) — measures the fat kernel on
+  destination-coherent tiles at several tile sizes."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.ops import pallas_trace, trace as trace_ops
+
+  scene, config = scenes.bigscene((256, 256)).build()
+  num_r = 1 << 16
+  for kind in ("bounce", "random"):
+    o, d, tmin, tmax = _rays(scene, num_r, kind)
+    hit = pallas_trace.intersect_bvh_fat_pallas(
+        scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+        o, d, tmin, tmax, rb=16)
+    # (a) sort by hit triangle id (misses last)
+    key_tri = jnp.where(hit.tri >= 0, hit.tri, 1 << 30).astype(jnp.int32)
+    # (b) sort by hit-position morton
+    hp = o + d * jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)[:, None]
+    root_min = scene.bvh.node_min[0]
+    root_ext = jnp.maximum(scene.bvh.node_max[0] - root_min, 1e-6)
+    q = jnp.clip((hp - root_min) / root_ext, 0.0, 1.0)
+    cell = (q * 511.0).astype(jnp.uint32)
+    key_pos = (trace_ops._spread3(cell[:, 0])
+               | (trace_ops._spread3(cell[:, 1]) << 1)
+               | (trace_ops._spread3(cell[:, 2]) << 2)).astype(jnp.int32)
+    for name, key in (("tri", key_tri), ("pos", key_pos)):
+      perm = jnp.argsort(key)
+      os, ds = o[perm], d[perm]
+      ts, xs = tmin[perm], tmax[perm]
+      for rb in (16, 8, 4, 2):
+        fn = lambda o_, d_, tn, tx, rb=rb: pallas_trace.intersect_bvh_fat_pallas(
+            scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
+            o_, d_, tn, tx, rb=rb)
+        step, st = _trace_chain(fn, os, ds, ts, xs)
+        dt = _chain_time(step, st)
+        print(f"oracle[{name}] {kind:7s} rb={rb:2d}: {dt*1e3:7.2f} ms  "
+              f"{num_r/dt/1e6:8.2f} Mrays/s")
+
+
 def bench_sort():
   """Device-time sort/permute costs at wavefront widths."""
   for n in (1 << 14, 1 << 16, 1 << 17):
@@ -257,7 +296,130 @@ def bench_dispatch():
   print(f"evaluate all-classes    : {dt*1e3:7.2f} ms")
 
 
+def bench_step(config_name="materials"):
+  """Per-phase device-time breakdown of pt_step on a benchmark config."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.render.bsdf import dispatch, lobes
+  from etx_tracer_tpu.core import rng as rng_mod
+  from etx_tracer_tpu.ops import trace as trace_ops
+  from etx_tracer_tpu.core import spectrum as sp_mod
+  from etx_tracer_tpu.render import emitters as emitters_mod
+  from etx_tracer_tpu.render import spectral as spx
+
+  builder = getattr(scenes, config_name, None) or getattr(
+      scenes, config_name + "_scene")
+  scene, config = builder().build()
+  state = path_tracing.make_payload(scene, config, 0)
+  r = state.ray_o.shape[0]
+  print(f"{config_name}: r={r} tris={scene.tri_v0.shape[0]} "
+        f"classes={config.material_classes} spectral={config.spectral} "
+        f"envs={config.num_env_emitters} media={config.has_media}")
+
+  # full step
+  def step_full(s):
+    ns = path_tracing.pt_step(scene, config, s, deferred_nee=not config.has_media)
+    return ns._replace(alive=s.alive)  # keep width/liveness stable
+
+  dt = _chain_time(step_full, state, n_iter=4)
+  print(f"pt_step full            : {dt*1e3:7.2f} ms")
+
+  # pieces (each chained with a data dependency through ray_o)
+  def piece(fn, label, st0=None):
+    def step(carry):
+      x, acc = carry
+      out = fn(x)
+      s = jnp.sum(out[0] if isinstance(out, tuple) else out)
+      return x + 0.0 * s, acc + s
+    dt = _chain_time(step, (state.ray_o if st0 is None else st0,
+                            jnp.float32(0)), n_iter=4)
+    print(f"{label:24s}: {dt*1e3:7.2f} ms")
+    return dt
+
+  piece(lambda o: trace_ops.trace_closest(
+      scene, o, state.ray_d, state.t_min, state.t_max).t, "trace_closest")
+  piece(lambda o: trace_ops.trace_occluded(
+      scene, o, state.ray_d, state.t_min,
+      jnp.full(r, 1e3)).astype(jnp.float32), "trace_occluded")
+
+  if config.spectral:
+    piece(lambda o: sp_mod.bank_at_wl(scene.spec_values,
+                                      state.wl + 0.0 * o[:, 0]),
+          "bank_at_wl")
+
+  hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
+                                state.t_min, state.t_max)
+
+  def interp(o):
+    h2 = trace_ops.Hit(hit.t, hit.tri, hit.u + 0.0 * o[:, 0], hit.v)
+    pos, nrm, tan, btn, uv, bc, tri, trows = path_tracing._interpolate_hit(
+        scene, h2, state.ray_d)
+    mat = path_tracing._gather_mat(scene, trows.mat)
+    return pos + nrm + tan, 0
+
+  piece(lambda o: interp(o)[0], "interpolate+mat")
+
+  pos, nrm, tan, btn, uv, bc, tri, trows = path_tracing._interpolate_hit(
+      scene, hit, state.ray_d)
+  mat = path_tracing._gather_mat(scene, trows.mat)
+  sd = lobes.ShadingData(w_i=state.ray_d, nrm=nrm, tan=tan, btn=btn,
+                         geo_n=trows.geo_n, tex=uv, wl=state.wl,
+                         medium=state.medium, mat=mat)
+  sc = scene
+  if config.spectral:
+    sc = scene._replace(
+        spec_at_wl=(state.wl, sp_mod.bank_at_wl(scene.spec_values, state.wl)))
+  rng_state, rnd0 = rng_mod.next_n(state.rng_state, dispatch.NUM_SAMPLE_RND)
+
+  def emit_fn(o):
+    rs = state.rng_state + (0.0 * o[:, 0]).astype(jnp.uint32)
+    _, rnd_sel = rng_mod.next_float(rs)
+    _, rnd_em = rng_mod.next_2d(rs)
+    em_idx, _ = emitters_mod.sample_emitter_index(sc, rnd_sel)
+    esmp = emitters_mod.sample_emitter(sc, em_idx, rnd_em, pos, state.wl,
+                                       config.spectral,
+                                       classes=config.emitter_classes)
+    return esmp.value, 0
+
+  piece(lambda o: emit_fn(o)[0], "sample_emitter(NEE)")
+
+  if config.num_env_emitters > 0:
+    piece(lambda o: emitters_mod.env_contribution(
+        sc, state.ray_d + 0.0 * o, state.wl, state.path_length == 1,
+        state.mis_flag, state.bsdf_pdf, config.num_env_emitters,
+        config.spectral), "env_contribution")
+
+  piece(lambda o: emitters_mod.area_radiance(
+      sc, jnp.maximum(trows.emitter, 0), state.wl, o, pos, uv,
+      state.path_length == 1, config.spectral)[0], "area_radiance")
+
+  def samp(o):
+    rnd = rnd0 + 0.0 * o[:, :dispatch.NUM_SAMPLE_RND]
+    out = dispatch.sample(sc, sd, rnd, config.spectral,
+                          config.material_classes, config.diffuse_variations)
+    return out.weight, 0
+
+  st7 = jnp.tile(state.ray_o, (1, 3))[:, :dispatch.NUM_SAMPLE_RND]
+  piece(lambda o: samp(o)[0], "bsdf.sample", st0=st7)
+
+  def ev(o):
+    w_o = -state.ray_d + 0.0 * o[:, :3]
+    b, p = dispatch.evaluate(sc, sd, w_o, config.spectral,
+                             config.material_classes,
+                             config.diffuse_variations)
+    return b, 0
+
+  piece(lambda o: ev(o)[0], "bsdf.evaluate", st0=st7)
+
+  piece(lambda o: spx.to_film_rgb(
+      jnp.abs(o[:, :1]), state.wl, config.spectral), "to_film_rgb")
+
+
 if __name__ == "__main__":
   which = sys.argv[1] if len(sys.argv) > 1 else "trace"
-  dict(trace=bench_trace, trace_sorted=bench_trace_sorted, sort=bench_sort,
-       dispatch=bench_dispatch, mxu=bench_mxu)[which]()
+  if which == "step":
+    bench_step(sys.argv[2] if len(sys.argv) > 2 else "materials")
+  else:
+    dict(trace=bench_trace, trace_sorted=bench_trace_sorted, sort=bench_sort,
+         trace_oracle=bench_trace_oracle,
+         dispatch=bench_dispatch, mxu=bench_mxu)[which]()

@@ -63,6 +63,14 @@ def _rays(scene, num_r, kind, seed=0):
           jnp.asarray(t_max))
 
 
+def _dep(x):
+  """A value-preserving but non-foldable data dependency: adding
+  1e-30*clamped(x) to O(1) coordinates rounds to identity in f32, yet XLA
+  cannot fold it away (0.0*x folds once x is provably finite, which lets
+  CSE hoist loop-invariant kernels OUT of the chain — measured)."""
+  return 1e-30 * jnp.minimum(jnp.abs(x.astype(jnp.float32)), 1.0)
+
+
 def _trace_chain(trace_fn, o, d, tmin, tmax):
   """Chain traces with a data dependency through the origin jitter."""
 
@@ -70,7 +78,16 @@ def _trace_chain(trace_fn, o, d, tmin, tmax):
     o_cur, acc = state
     hit = trace_fn(o_cur, d, tmin, tmax)
     t = jnp.where(jnp.isfinite(hit.t), hit.t, 0.0)
-    return o_cur + 0.0 * t[:, None], acc + jnp.sum(t)
+    return o_cur + _dep(t)[:, None], acc + jnp.sum(t)
+
+  return step, (o, jnp.float32(0))
+
+
+def _occ_chain(occ_fn, o, d, tmin, tmax):
+  def step(state):
+    o_cur, acc = state
+    occ = occ_fn(o_cur, d, tmin, tmax).astype(jnp.float32)
+    return o_cur + _dep(occ)[:, None], acc + jnp.sum(occ)
 
   return step, (o, jnp.float32(0))
 
@@ -321,7 +338,7 @@ def bench_step(config_name="materials"):
     ns = path_tracing.pt_step(scene, config, s, deferred_nee=not config.has_media)
     return ns._replace(alive=s.alive)  # keep width/liveness stable
 
-  dt = _chain_time(step_full, state, n_iter=4)
+  dt = _chain_time(step_full, state, n_iter=16)
   print(f"pt_step full            : {dt*1e3:7.2f} ms")
 
   # pieces (each chained with a data dependency through ray_o)
@@ -330,9 +347,9 @@ def bench_step(config_name="materials"):
       x, acc = carry
       out = fn(x)
       s = jnp.sum(out[0] if isinstance(out, tuple) else out)
-      return x + 0.0 * s, acc + s
+      return x + _dep(s), acc + s
     dt = _chain_time(step, (state.ray_o if st0 is None else st0,
-                            jnp.float32(0)), n_iter=4)
+                            jnp.float32(0)), n_iter=16)
     print(f"{label:24s}: {dt*1e3:7.2f} ms")
     return dt
 

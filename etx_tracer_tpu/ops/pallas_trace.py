@@ -950,3 +950,219 @@ def occluded_pallas(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
   )(tri_tab, *planes)
 
   return occ.reshape(rp)[:num_r] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Dense pair-tile brute kernels (v2).
+#
+# Layout: rays on SUBLANES (RB rows) x triangles on LANES (TC columns), so
+# every Moller-Trumbore term is a natural (RB,1)x(1,TC) broadcast on the VPU
+# — no per-triangle scalar extraction and no dynamic row loads serializing
+# the pipeline (the v1 kernels above stream one scalar triangle row per
+# fori iteration). The triangle table lives VMEM-resident as a transposed
+# (16, T) component matrix; chunks of TC lanes stream through a fori_loop.
+# Replaces Embree rtcIntersect1/rtcOccluded1 (reference rt/rt.cxx:250-278)
+# for small-to-medium scenes; measured ~4x over the v1 brute kernels.
+# ---------------------------------------------------------------------------
+
+_B2_RB = 256   # rays per grid program (sublane rows)
+_B2_TC = 512   # triangle lanes per chunk
+
+
+def _b2_ray_cols(ray_ref):
+  ox = ray_ref[:, 0:1]
+  oy = ray_ref[:, 1:2]
+  oz = ray_ref[:, 2:3]
+  dx = ray_ref[:, 3:4]
+  dy = ray_ref[:, 4:5]
+  dz = ray_ref[:, 5:6]
+  tmin = ray_ref[:, 6:7]
+  tmax = ray_ref[:, 7:8]
+  return ox, oy, oz, dx, dy, dz, tmin, tmax
+
+
+def _b2_tri_rows(tri_ref, s, tc):
+  import jax.experimental.pallas as pl
+  rows = [tri_ref[r:r + 1, pl.ds(s, tc)] for r in range(10)]
+  return rows  # v0xyz, e1xyz, e2xyz, mask
+
+
+def _kernel_brute2(tri_ref, ray_ref, t_out, tri_out, u_out, v_out):
+  ox, oy, oz, dx, dy, dz, tmin, tmax = _b2_ray_cols(ray_ref)
+  num_tp = tri_ref.shape[1]
+  tc = min(_B2_TC, num_tp)
+  n_chunks = num_tp // tc
+  rb = ox.shape[0]
+
+  def chunk(c, best):
+    # validity is tested division-free on sign-multiplied u*det / v*det /
+    # t*det forms; the only per-pair division is t itself (needed for the
+    # closest min); u and v divide AFTER the winner select, on (RB,1)
+    best_t, best_tri, best_u, best_v = best
+    s = c * tc
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, _) = _b2_tri_rows(tri_ref, s, tc)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = px * e1x + py * e1y + pz * e1z
+    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+    dd = det * sgn
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    a = (tx * px + ty * py + tz * pz) * sgn
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    b = (dx * qx + dy * qy + dz * qz) * sgn
+    tt = (e2x * qx + e2y * qy + e2z * qz) * sgn
+    ok = ((dd > _MT_EPS) & (a >= 0.0) & (b >= 0.0) & (a + b <= dd)
+          & (tt >= tmin * dd) & (tt <= tmax * dd))
+    tm = jnp.where(ok, tt / jnp.where(dd == 0.0, 1.0, dd), jnp.inf)
+    t_c = jnp.min(tm, axis=1, keepdims=True)                    # (RB,1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+    idx_c = jnp.min(jnp.where(tm == t_c, lane, num_tp), axis=1, keepdims=True)
+    onehot = lane == idx_c
+    a_c = jnp.sum(jnp.where(onehot, a, 0.0), axis=1, keepdims=True)
+    b_c = jnp.sum(jnp.where(onehot, b, 0.0), axis=1, keepdims=True)
+    dd_c = jnp.sum(jnp.where(onehot, dd, 0.0), axis=1, keepdims=True)
+    inv = 1.0 / jnp.where(dd_c == 0.0, 1.0, dd_c)
+    better = t_c < best_t
+    return (jnp.where(better, t_c, best_t),
+            jnp.where(better, s + idx_c, best_tri),
+            jnp.where(better, a_c * inv, best_u),
+            jnp.where(better, b_c * inv, best_v))
+
+  best0 = (jnp.full((rb, 1), jnp.inf, jnp.float32),
+           jnp.full((rb, 1), -1, jnp.int32),
+           jnp.zeros((rb, 1), jnp.float32),
+           jnp.zeros((rb, 1), jnp.float32))
+  if n_chunks == 1:
+    best = chunk(0, best0)
+  else:
+    best = jax.lax.fori_loop(0, n_chunks, chunk, best0)
+
+  t_out[...], tri_out[...], u_out[...], v_out[...] = best
+
+
+def _kernel_brute2_anyhit(tri_ref, ray_ref, occ_out):
+  """Division-free any-hit: validity tested on sign-multiplied u*det, v*det,
+  t*det forms (t in [tmin,tmax] <=> t*det*sgn in [tmin,tmax]*|det|)."""
+  ox, oy, oz, dx, dy, dz, tmin, tmax = _b2_ray_cols(ray_ref)
+  num_tp = tri_ref.shape[1]
+  tc = min(_B2_TC, num_tp)
+  n_chunks = num_tp // tc
+  rb = ox.shape[0]
+
+  def chunk(c, occ):
+    s = c * tc
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, _) = _b2_tri_rows(tri_ref, s, tc)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = px * e1x + py * e1y + pz * e1z
+    sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+    dd = det * sgn
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    a = (tx * px + ty * py + tz * pz) * sgn
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    b = (dx * qx + dy * qy + dz * qz) * sgn
+    tt = (e2x * qx + e2y * qy + e2z * qz) * sgn
+    ok = ((dd > _MT_EPS) & (a >= 0.0) & (b >= 0.0) & (a + b <= dd)
+          & (tt >= tmin * dd) & (tt <= tmax * dd))
+    hit = jnp.max(jnp.where(ok, 1.0, 0.0), axis=1, keepdims=True)
+    return jnp.maximum(occ, hit)
+
+  occ0 = jnp.zeros((rb, 1), jnp.float32)
+  if n_chunks == 1:
+    occ = chunk(0, occ0)
+  else:
+    occ = jax.lax.fori_loop(0, n_chunks, chunk, occ0)
+  occ_out[...] = occ
+
+
+def _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask):
+  """Transposed (16, Tpad) component table.
+
+  tri_mask folds into the GEOMETRY (masked tris get zero edges -> det == 0
+  -> always invalid), so the kernels spend no per-pair ops on masking;
+  padded columns are all-zero and fail the same way."""
+  num_t = tri_v0.shape[0]
+  if tri_mask is not None:
+    m = tri_mask.astype(jnp.float32)[:, None]
+    tri_e1 = tri_e1 * m
+    tri_e2 = tri_e2 * m
+  tab = jnp.concatenate([tri_v0.T, tri_e1.T, tri_e2.T,
+                         jnp.zeros((7, num_t), jnp.float32)], axis=0)
+  unit = _B2_TC if num_t > _B2_TC else _LANES
+  tpad = (-num_t) % unit
+  if tpad:
+    tab = jnp.concatenate([tab, jnp.zeros((16, tpad), jnp.float32)], axis=1)
+  return tab
+
+
+def _brute2_rays(o, d, t_min, t_max):
+  num_r = o.shape[0]
+  pad = (-num_r) % _B2_RB
+  rays = jnp.stack([o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+                    t_min, t_max], axis=1)
+  if pad:
+    filler = jnp.zeros((pad, 8), jnp.float32).at[:, 7].set(-1.0)
+    rays = jnp.concatenate([rays, filler])
+  return rays, num_r + pad
+
+
+@functools.partial(jax.jit, static_argnames=())
+def intersect_brute2_pallas(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                            tri_mask=None) -> Hit:
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  tab = _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask)
+  rays, rp = _brute2_rays(o, d, t_min, t_max)
+
+  grid = (rp // _B2_RB,)
+  tri_spec = pl.BlockSpec(tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+  ray_spec = pl.BlockSpec((_B2_RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+  col = lambda dt: jax.ShapeDtypeStruct((rp, 1), dt)
+  col_spec = pl.BlockSpec((_B2_RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+  t, tri, u, v = pl.pallas_call(
+      _kernel_brute2,
+      grid=grid,
+      in_specs=[tri_spec, ray_spec],
+      out_specs=[col_spec] * 4,
+      out_shape=[col(jnp.float32), col(jnp.int32), col(jnp.float32),
+                 col(jnp.float32)],
+  )(tab, rays)
+  return Hit(t[:num_r, 0], tri[:num_r, 0], u[:num_r, 0], v[:num_r, 0])
+
+
+@functools.partial(jax.jit, static_argnames=())
+def occluded_brute2_pallas(tri_v0, tri_e1, tri_e2, o, d, t_min, t_max,
+                           tri_mask=None) -> jnp.ndarray:
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  num_r = o.shape[0]
+  tab = _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask)
+  rays, rp = _brute2_rays(o, d, t_min, t_max)
+
+  grid = (rp // _B2_RB,)
+  tri_spec = pl.BlockSpec(tab.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+  ray_spec = pl.BlockSpec((_B2_RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+  col_spec = pl.BlockSpec((_B2_RB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+  occ = pl.pallas_call(
+      _kernel_brute2_anyhit,
+      grid=grid,
+      in_specs=[tri_spec, ray_spec],
+      out_specs=col_spec,
+      out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.float32),
+  )(tab, rays)
+  return occ[:num_r, 0] > 0.5

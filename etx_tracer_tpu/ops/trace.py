@@ -322,7 +322,13 @@ def trace_closest(scene, o, d, t_min, t_max, tri_mask=None, prefer_brute: bool =
   from etx_tracer_tpu.ops import pallas_trace
   if pallas_trace.available() and _pallas_ids_exact(scene, num_t):
     if prefer_brute and num_t <= _BVH_PALLAS_MIN_TRIS:
-      return pallas_trace.intersect_pallas(
+      # unrolled v1 wins below the unroll limit (static scalar rows pipeline
+      # best); the dense pair-tile v2 kernel wins beyond (measured 1.3-1.4x
+      # at 1k-4k tris)
+      if num_t <= pallas_trace._UNROLL_LIMIT:
+        return pallas_trace.intersect_pallas(
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+      return pallas_trace.intersect_brute2_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
     if getattr(scene.bvh, "fat_rows", None) is not None:
       # NOTE: Morton-sorting rays before the kernel was measured NET
@@ -353,7 +359,11 @@ def trace_occluded(scene, o, d, t_min, t_max, tri_mask=None) -> jnp.ndarray:
   from etx_tracer_tpu.ops import pallas_trace
   if pallas_trace.available() and _pallas_ids_exact(scene, num_t):
     if num_t <= _BVH_PALLAS_MIN_TRIS:
-      return pallas_trace.occluded_pallas(
+      if num_t <= pallas_trace._UNROLL_LIMIT:
+        return pallas_trace.occluded_pallas(
+            scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
+      # dense pair-tile any-hit (division-free): measured 2.2-2.5x over v1
+      return pallas_trace.occluded_brute2_pallas(
           scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max, tri_mask)
     if getattr(scene.bvh, "fat_rows", None) is not None:
       return pallas_trace.occluded_bvh_fat_pallas(

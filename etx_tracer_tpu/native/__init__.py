@@ -18,7 +18,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libetx_native.so")
 _SOURCES = ["bvh_builder.cpp", "obj_parser.cpp", "blosc_decoder.cpp",
-            "alias_builder.cpp"]
+            "alias_builder.cpp", "exr_decoder.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -62,6 +62,8 @@ def load():
     lib.etx_obj_mtllib.restype = ctypes.c_int32
     lib.etx_blosc_decompress.restype = ctypes.c_int64
     lib.etx_alias_build.restype = ctypes.c_int32
+    lib.etx_piz_decode.restype = ctypes.c_int64
+    lib.etx_piz_encode.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -108,6 +110,57 @@ def blosc_decompress(data: bytes, nbytes: int) -> bytes | None:
              -3: "unsupported inner codec (only LZ4/zlib)",
              -4: "bitshuffle filter unsupported", -5: "inner codec error"}
     raise ValueError(codes.get(int(n), f"blosc decode error {n}"))
+  return dst[:n].tobytes()
+
+
+def piz_decode(data: bytes, ch_words: "np.ndarray", width: int,
+               n_lines: int) -> bytes | None:
+  """Decode one PIZ scanline block to the uncompressed block layout
+  (per line, per channel, width*2*words bytes). ch_words: u16 words per
+  pixel per channel in file order (1=HALF, 2=FLOAT/UINT). Returns None when
+  the native library is unavailable; raises ValueError on malformed data."""
+  lib = load()
+  if lib is None:
+    return None
+  src = np.frombuffer(data, np.uint8)
+  cw = np.ascontiguousarray(ch_words, np.int32)
+  out_bytes = int(2 * width * int(cw.sum()) * n_lines)
+  dst = np.zeros(max(out_bytes, 1), np.uint8)
+  n = lib.etx_piz_decode(
+      src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(src.size),
+      ctypes.c_int32(len(cw)),
+      cw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+      ctypes.c_int32(width), ctypes.c_int32(n_lines),
+      dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(dst.size))
+  if n < 0:
+    codes = {-1: "malformed PIZ block", -2: "output too small",
+             -3: "PIZ huffman error"}
+    raise ValueError(codes.get(int(n), f"PIZ decode error {n}"))
+  return dst[:n].tobytes()
+
+
+def piz_encode(data: bytes, ch_words: "np.ndarray", width: int,
+               n_lines: int) -> bytes | None:
+  """PIZ-compress one scanline block (inverse of piz_decode). Returns None
+  when the native library is unavailable or the data is uncompressible."""
+  lib = load()
+  if lib is None:
+    return None
+  src = np.frombuffer(data, np.uint8)
+  cw = np.ascontiguousarray(ch_words, np.int32)
+  dst = np.zeros(len(data) * 2 + 65536 + 64, np.uint8)
+  n = lib.etx_piz_encode(
+      src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(src.size),
+      ctypes.c_int32(len(cw)),
+      cw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+      ctypes.c_int32(width), ctypes.c_int32(n_lines),
+      dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+      ctypes.c_int64(dst.size))
+  if n < 0:
+    return None
   return dst[:n].tobytes()
 
 

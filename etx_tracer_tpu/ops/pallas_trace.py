@@ -1085,7 +1085,7 @@ def _kernel_brute2_anyhit(tri_ref, ray_ref, occ_out):
   occ_out[...] = occ
 
 
-def _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask):
+def _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask, unit=None):
   """Transposed (16, Tpad) component table.
 
   tri_mask folds into the GEOMETRY (masked tris get zero edges -> det == 0
@@ -1098,7 +1098,8 @@ def _brute2_tables(tri_v0, tri_e1, tri_e2, tri_mask):
     tri_e2 = tri_e2 * m
   tab = jnp.concatenate([tri_v0.T, tri_e1.T, tri_e2.T,
                          jnp.zeros((7, num_t), jnp.float32)], axis=0)
-  unit = _B2_TC if num_t > _B2_TC else _LANES
+  if unit is None:
+    unit = _B2_TC if num_t > _B2_TC else _LANES
   tpad = (-num_t) % unit
   if tpad:
     tab = jnp.concatenate([tab, jnp.zeros((16, tpad), jnp.float32)], axis=1)

@@ -223,6 +223,7 @@ static bool huf_decode(const std::vector<uint64_t>& hcode,
 
   // drain remaining buffered bits (codes wholly inside the tail)
   int tail_unused = int((8 - nbits % 8) % 8);
+  c >>= tail_unused;  // shift out the final byte's padding bits so valid bits sit at the bottom
   lc -= tail_unused;
   while (lc > 0) {
     uint32_t idx = uint32_t((c << (kDecBits - lc)) & ((1 << kDecBits) - 1));

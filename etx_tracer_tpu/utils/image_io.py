@@ -257,7 +257,10 @@ def load_exr_channels(path: str) -> dict:
       raise ValueError(f"subsampled channel {name!r} unsupported")
   block = _EXR_BLOCK_LINES[comp]
   n_chunks = (h + block - 1) // block
-  pos += n_chunks * 8  # offset table (chunks parsed sequentially)
+  # Chunk offset table: seek via the stored offsets (spec-legal files may
+  # pad between chunks or store them out of table order).
+  chunk_offsets = np.frombuffer(data, "<u8", n_chunks, pos)
+  pos += n_chunks * 8
 
   ch_bytes = [2 if p == _EXR_HALF else 4 for _, p, _, _ in chans]
   ch_words = np.asarray([b // 2 for b in ch_bytes], np.int32)
@@ -265,11 +268,11 @@ def load_exr_channels(path: str) -> dict:
   planes = {name: np.zeros((h, w), np.float32 if p != _EXR_UINT else np.uint32)
             for name, p, _, _ in chans}
 
-  for _ in range(n_chunks):
+  for ci in range(n_chunks):
+    pos = int(chunk_offsets[ci])
     yy, size = struct.unpack("<ii", data[pos:pos + 8])
     pos += 8
     payload = data[pos:pos + size]
-    pos += size
     row0 = yy - y0
     lines = min(block, h - row0)
     raw_size = line_bytes * lines

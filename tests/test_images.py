@@ -163,6 +163,54 @@ class TestEXRCodecs:
     image_io.save_exr(p, img, flip=False, compression="zip")
     assert np.array_equal(image_io.load_exr(p), img)
 
+  def test_piz_randomized_roundtrip(self):
+    """Randomized piz_encode/piz_decode roundtrips across widths, line
+    counts, and channel mixes (HALF and FLOAT words). Exercises the
+    Huffman tail drain when nbits % 8 != 0 — shapes like 97x26 corrupted
+    ~30% of blocks before the padding-bit shift fix."""
+    from etx_tracer_tpu import native
+    if native.load() is None:
+      pytest.skip("native helper unavailable")
+    rng = np.random.default_rng(0)
+    shapes = [(97, 26, np.array([1], np.int32)),
+              (33, 47, np.array([1, 1, 1], np.int32))]
+    for _ in range(20):
+      shapes.append((int(rng.integers(5, 140)), int(rng.integers(1, 40)),
+                     rng.integers(1, 3, int(rng.integers(1, 4))).astype(np.int32)))
+    for w, lines, cw in shapes:
+      nbytes = 2 * w * int(cw.sum()) * lines
+      data = rng.integers(0, 2**16, nbytes // 2, dtype=np.uint16).tobytes()
+      enc = native.piz_encode(data, cw, w, lines)
+      if enc is None:
+        continue
+      assert native.piz_decode(enc, cw, w, lines) == data, (w, lines, cw)
+
+  def test_exr_offset_table_respected(self, tmp_path):
+    """Spec-legal files may store chunks with padding between them or out
+    of table order; the reader must seek via the offset table (tinyexr
+    parity). Rewrite a 2-chunk ZIP file with the chunks swapped on disk."""
+    rs = np.random.RandomState(3)
+    img = rs.rand(20, 9, 3).astype(np.float32)  # 2 ZIP chunks (16+4 lines)
+    p = str(tmp_path / "o.exr")
+    image_io.save_exr(p, img, flip=False, compression="zip")
+    raw = open(p, "rb").read()
+    # locate the offset table: parse header to its end via the loader's
+    # own header parser, then swap the two chunks and patch the table.
+    attrs, pos = image_io._exr_parse_header(raw)
+    offs = np.frombuffer(raw, "<u8", 2, pos).copy()
+    def chunk(o):
+      import struct as _s
+      _, size = _s.unpack("<ii", raw[o:o + 8])
+      return raw[o:o + 8 + size]
+    c0, c1 = chunk(int(offs[0])), chunk(int(offs[1]))
+    base = pos + 16
+    pad = b"\xde\xad\xbe\xef"  # padding between chunks
+    new_offs = np.array([base + len(c1) + len(pad), base], "<u8")
+    out = raw[:pos] + new_offs.tobytes() + c1 + pad + c0
+    p2 = str(tmp_path / "o2.exr")
+    open(p2, "wb").write(out)
+    assert np.array_equal(image_io.load_exr(p2), img)
+
   def test_exr_unsupported_reports_name(self, tmp_path):
     rs = np.random.RandomState(2)
     img = rs.rand(4, 4, 3).astype(np.float32)

@@ -120,6 +120,45 @@ def bench_trace():
           f"{num_r/dt/1e6:8.2f} Mrays/s")
 
 
+def bench_trace_brute():
+  """Small-scene dense kernels head-to-head: brute2 (MT pair-tile) vs woop
+  (MXU unit-triangle transform), chained on-device (tunnel latency
+  excluded). Sizes bracket the brute/BVH switchover."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.ops import pallas_trace
+
+  num_r = 1 << 18
+  for scene_name, size_note in (("materials", "996 tris"),
+                                ("caustics", "~1k tris"),
+                                ("bigscene", "15k tris")):
+    builder = getattr(scenes, scene_name, None) or getattr(
+        scenes, scene_name + "_scene")
+    scene, _ = builder((256, 256)).build()
+    num_t = scene.tri_v0.shape[0]
+    o, d, tmin, tmax = _rays(scene, num_r, "random")
+    print(f"{scene_name}: tris={num_t} rays={num_r} (random)")
+    for label, fn in (
+        ("brute2", pallas_trace.intersect_brute2_pallas),
+        ("woop", pallas_trace.intersect_woop_pallas),
+    ):
+      tr = lambda o, d, tmin, tmax, fn=fn: fn(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, tmin, tmax)
+      step, st = _trace_chain(tr, o, d, tmin, tmax)
+      dt = _chain_time(step, st)
+      print(f"  {label:7s} closest: {dt*1e3:7.2f} ms  "
+            f"{num_r/dt/1e6:8.2f} Mrays/s  {num_r*num_t/dt/1e9:7.1f} Gpairs/s")
+    for label, fn in (
+        ("brute2", pallas_trace.occluded_brute2_pallas),
+        ("woop", pallas_trace.occluded_woop_pallas),
+    ):
+      oc = lambda o, d, tmin, tmax, fn=fn: fn(
+          scene.tri_v0, scene.tri_e1, scene.tri_e2, o, d, tmin, tmax)
+      step, st = _occ_chain(oc, o, d, tmin, tmax)
+      dt = _chain_time(step, st)
+      print(f"  {label:7s} anyhit : {dt*1e3:7.2f} ms  "
+            f"{num_r/dt/1e6:8.2f} Mrays/s")
+
+
 def bench_trace_sorted():
   """Fat kernel on rays pre-sorted by Morton-of-origin+octant (device sort
   inside the chain, so its cost is included)."""
@@ -437,6 +476,7 @@ if __name__ == "__main__":
   if which == "step":
     bench_step(sys.argv[2] if len(sys.argv) > 2 else "materials")
   else:
-    dict(trace=bench_trace, trace_sorted=bench_trace_sorted, sort=bench_sort,
+    dict(trace=bench_trace, trace_brute=bench_trace_brute,
+         trace_sorted=bench_trace_sorted, sort=bench_sort,
          trace_oracle=bench_trace_oracle,
          dispatch=bench_dispatch, mxu=bench_mxu)[which]()

@@ -8,6 +8,7 @@ multiple-scattering conductor/dielectric lobes (bsdf_conductor.hxx:63).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from etx_tracer_tpu.core import math as em
@@ -245,7 +246,15 @@ def fresnel(cos_theta, ext_eta, ext_k, int_eta, int_k, spectral: bool,
   if tf_thickness is not None:
     nf = (tf_eta, tf_k)
     wl = tf_wavelengths  # (R, C)
-    f_tf = fresnel_thinfilm(wl, cos_t, ni, nf, nj, tf_thickness[..., None])
     use_tf = (tf_thickness > 0.0)[..., None] & (jnp.max(jnp.abs(tf_eta), axis=-1, keepdims=True) > 0.0)
-    f = jnp.where(use_tf, f_tf, f)
+    # the interference stack is the most expensive Fresnel path; skip the
+    # whole subgraph when no lane in this (class-gated) wavefront carries
+    # an active film — e.g. plain conductors in a scene that also has a
+    # Thinfilm material
+    f = jax.lax.cond(
+        jnp.any(use_tf),
+        lambda: jnp.where(
+            use_tf, fresnel_thinfilm(wl, cos_t, ni, nf, nj,
+                                     tf_thickness[..., None]), f),
+        lambda: f)
   return em.saturate(f)

@@ -1,0 +1,273 @@
+"""Multiple-scattering energy compensation via precomputed albedo tables.
+
+TPU-first replacement for the stochastic Heitz walk on the conductor hot
+path (reference external::eval_conductor / sample_conductor,
+render/shared/bsdf_external.hxx:281-466). The walk is a sequential
+`lax.while_loop` (up to 16 orders, each with a spectral Fresnel eval) that
+keeps the whole wavefront hostage to its slowest lane; on the MXU/VPU the
+right shape is a closed-form lobe plus a tiny (mu, alpha) table lookup:
+
+  f(wi, wo) = F(i.h) D G2 / (4 mu_i)                       (single scatter)
+            + F_ms * mu_o (1-E(mu_i))(1-E(mu_o)) / (pi (1-E_avg))
+
+with E(mu, alpha) the directional albedo of the F=1 single-scatter GGX lobe
+(height-correlated Smith) and E_avg its cosine average [Kulla & Conty 2017].
+By construction the F=1 furnace closes exactly: the compensation lobe
+integrates to 1 - E(mu_i). The Fresnel factor for the compensation lobe is
+
+  F_ms = F_avg^2 E_avg / (1 - F_avg (1 - E_avg)),
+
+the geometric series of average-Fresnel bounces, with F_avg = 2 int F(mu) mu
+dmu evaluated per lane by an 8-point Gauss-Legendre rule on the lane's own
+spectral Fresnel (conductor n/k at the lane wavelength), so spectral color
+from interreflection is preserved.
+
+Sampling follows the same decomposition: VNDF reflection with probability
+proportional to the single-scatter energy, a cosine-shaped compensation lobe
+otherwise; weight = f/pdf is analytic. No loops anywhere.
+
+This is a documented deviation from the reference's unbiased random walk:
+the compensation lobe's *shape* is approximate (its energy is not).
+tests/test_energy_lut.py bounds the deviation against the walk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from etx_tracer_tpu.core import math as em
+from etx_tracer_tpu.render.bsdf import common as mf
+
+_N_MU = 32
+_N_ALPHA = 32
+_ALPHA_MIN = 1e-3
+_ALPHA_MAX = 1.0
+
+
+def _smith_lambda_np(mu, alpha):
+  s2 = np.maximum(1.0 - mu * mu, 1e-12)
+  a2 = (mu * mu) / (s2 * alpha * alpha)
+  return 0.5 * (-1.0 + np.sqrt(1.0 + 1.0 / np.maximum(a2, 1e-12)))
+
+
+@functools.lru_cache(maxsize=1)
+def _tables_np():
+  """E(mu, alpha) and E_avg(alpha) for isotropic GGX, F=1.
+
+  E(mu_i) = int D(h) G2(wi, wo(h)) (wi.h)/mu_i dh over half-vectors
+  (wo = reflect(-wi, h), Jacobian dwo = 4(wi.h) dh folded in). Evaluated
+  with the exact GGX-NDF inverse-CDF substitution (theta_h =
+  atan(a sqrt(u/(1-u)))) so the narrow small-alpha lobe is resolved as
+  well as the wide one: sampling h ~ D cos(theta) gives
+  E = mean_k [ G2 (wi.h_k) / (mu_i cos(theta_k)) ]. Runs once per process
+  in numpy.
+  """
+  mus = _mu_grid()
+  alphas = _alpha_grid()
+
+  n_u, n_phi = 128, 64
+  u = (np.arange(n_u) + 0.5) / n_u
+  phi = (np.arange(n_phi) + 0.5) * (2.0 * np.pi / n_phi)
+
+  table = np.empty((_N_ALPHA, _N_MU), np.float64)
+  for ia, a in enumerate(alphas):
+    # h ~ D(h) cos(theta_h): tan^2(theta) = a^2 u/(1-u)
+    tan2 = a * a * u / (1.0 - u)
+    cos_h = 1.0 / np.sqrt(1.0 + tan2)                      # (U,)
+    sin_h = np.sqrt(np.maximum(1.0 - cos_h**2, 0.0))
+    hx = sin_h[:, None] * np.cos(phi)[None, :]             # (U, P)
+    hy = sin_h[:, None] * np.sin(phi)[None, :]
+    hz = np.broadcast_to(cos_h[:, None], hx.shape)
+    for im, mu_i in enumerate(mus):
+      si = np.sqrt(max(1.0 - mu_i * mu_i, 0.0))
+      idoth = si * hx + mu_i * hz                          # wi = (si, 0, mu_i)
+      # wo = 2(wi.h)h - wi
+      woz = 2.0 * idoth * hz - mu_i
+      valid = (idoth > 0.0) & (woz > 1e-6)
+      lam_i = _smith_lambda_np(mu_i, a)
+      lam_o = _smith_lambda_np(np.clip(woz, 1e-6, 1.0), a)
+      g2 = 1.0 / (1.0 + lam_i + lam_o)
+      est = np.where(valid, g2 * idoth / (mu_i * hz), 0.0)
+      table[ia, im] = est.mean()
+  table = np.clip(table, 0.0, 1.0)
+
+  # E_avg = 2 int E(mu) mu dmu on the same mu grid (trapezoid incl. ends)
+  mus_ext = np.concatenate([[0.0], mus, [1.0]])
+  e_avg = np.empty(_N_ALPHA, np.float64)
+  for ia in range(_N_ALPHA):
+    e_ext = np.concatenate([[table[ia, 0]], table[ia], [table[ia, -1]]])
+    e_avg[ia] = 2.0 * np.trapezoid(e_ext * mus_ext, mus_ext)
+  return table.astype(np.float32), np.clip(e_avg, 1e-4, 1.0).astype(np.float32)
+
+
+def _mu_grid():
+  return (np.arange(_N_MU) + 0.5) / _N_MU
+
+
+def _alpha_grid():
+  # log-spaced: resolution where the lobe changes fastest
+  return np.exp(np.linspace(np.log(_ALPHA_MIN), np.log(_ALPHA_MAX), _N_ALPHA))
+
+
+def _tables_jnp():
+  # NOT cached as jnp arrays: converting inside a traced context (e.g.
+  # under lax.cond) would cache tracers and leak across traces. The numpy
+  # side is lru_cached; asarray of a 32x32 constant is free (XLA dedups).
+  e, e_avg = _tables_np()
+  return jnp.asarray(e), jnp.asarray(e_avg)
+
+
+def _alpha_coord(alpha):
+  la = jnp.log(jnp.clip(alpha, _ALPHA_MIN, _ALPHA_MAX))
+  lo, hi = np.log(_ALPHA_MIN), np.log(_ALPHA_MAX)
+  return (la - lo) / (hi - lo) * (_N_ALPHA - 1)
+
+
+def _mu_coord(mu):
+  return jnp.clip(mu, 0.0, 1.0) * _N_MU - 0.5
+
+
+def _bilerp(tab, ca, cm):
+  """Bilinear (alpha, mu) interpolation with NO scalar-unit gathers: the
+  alpha-row pick is a weighted one-hot matmul (ops/gather.py) and the mu
+  interpolation a masked row reduction — wavefront-shaped TPU code. A
+  vector-index tab[a0, m0] gather here was measured to REGRESS the whole
+  materials step (XLA routes it through the scalar unit)."""
+  from etx_tracer_tpu.ops import gather as gather_ops
+  ca = jnp.clip(ca, 0.0, _N_ALPHA - 1.0)
+  cm = jnp.clip(cm, 0.0, _N_MU - 1.0)
+  a0 = jnp.floor(ca).astype(jnp.int32)
+  m0 = jnp.floor(cm).astype(jnp.int32)
+  a1 = jnp.minimum(a0 + 1, _N_ALPHA - 1)
+  m1 = jnp.minimum(m0 + 1, _N_MU - 1)
+  fa = ca - a0
+  fm = cm - m0
+  rows = gather_ops.take_rows_weighted(
+      tab, jnp.stack([a0, a1], axis=-1),
+      jnp.stack([1.0 - fa, fa], axis=-1))                  # (R, N_MU)
+  cols = jnp.arange(_N_MU, dtype=jnp.int32)
+  wm = ((m0[:, None] == cols) * (1.0 - fm)[:, None]
+        + (m1[:, None] == cols) * fm[:, None])
+  return jnp.sum(rows * wm, axis=-1)
+
+
+def e_lookup(mu, alpha_iso):
+  """E(mu, alpha): single-scatter directional albedo, bilinear."""
+  tab, _ = _tables_jnp()
+  return _bilerp(tab, _alpha_coord(alpha_iso), _mu_coord(mu))
+
+
+def e_avg_lookup(alpha_iso):
+  from etx_tracer_tpu.ops import gather as gather_ops
+  _, tab = _tables_jnp()
+  ca = jnp.clip(_alpha_coord(alpha_iso), 0.0, _N_ALPHA - 1.0)
+  a0 = jnp.floor(ca).astype(jnp.int32)
+  a1 = jnp.minimum(a0 + 1, _N_ALPHA - 1)
+  f = ca - a0
+  out = gather_ops.take_rows_weighted(
+      tab[:, None], jnp.stack([a0, a1], axis=-1),
+      jnp.stack([1.0 - f, f], axis=-1))
+  return out[..., 0]
+
+
+# Gauss-Legendre on (0,1) for F_avg = 2 int F(mu) mu dmu. Four nodes are
+# exact through polynomial degree 7 — Schlick's mu F(mu) is degree 6, and
+# measured conductor F(mu) curves are smoother still; each extra node costs
+# a full spectral Fresnel evaluation on the wavefront.
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(4)
+_GL_MU = (0.5 * (_GL_X + 1.0)).astype(np.float32)
+_GL_WT = (0.5 * _GL_W).astype(np.float32)
+
+
+def fresnel_average(fresnel_fn, shape):
+  """F_avg = 2 int_0^1 F(mu) mu dmu via 4-pt Gauss-Legendre on the lane's
+  own (spectral) Fresnel closure. Returns (..., C)."""
+  acc = None
+  for mu, wt in zip(_GL_MU, _GL_WT):
+    f = fresnel_fn(jnp.full(shape, mu, jnp.float32))
+    term = f * (2.0 * wt * mu)
+    acc = term if acc is None else acc + term
+  return jnp.clip(acc, 0.0, 1.0)
+
+
+def _alpha_iso(alpha):
+  return jnp.sqrt(alpha[..., 0] * alpha[..., 1])
+
+
+def conductor_eval_lut(fresnel_fn, w_i, w_o, alpha):
+  """Energy-compensated conductor eval, cosine folded (replaces
+  conductor_eval_walk on the hot path). w_i/w_o local, z>0 expected."""
+  mu_i = jnp.maximum(w_i[..., 2], 1e-6)
+  mu_o = jnp.maximum(w_o[..., 2], 0.0)
+  a_iso = _alpha_iso(alpha)
+
+  wh = em.normalize(w_i + w_o)
+  d = mf.ggx_d(wh, alpha)
+  lam_i = mf.smith_lambda(w_i, alpha)
+  lam_o = mf.smith_lambda(w_o, alpha)
+  g2 = 1.0 / (1.0 + lam_i + lam_o)
+  f_ss = fresnel_fn(em.dot(w_i, wh))
+  single = f_ss * (d * g2 / (4.0 * mu_i))[..., None]
+
+  e_i = e_lookup(mu_i, a_iso)
+  e_o = e_lookup(mu_o, a_iso)
+  e_avg = e_avg_lookup(a_iso)
+  f_avg = fresnel_average(fresnel_fn, mu_i.shape)
+  denom = 1.0 - f_avg * (1.0 - e_avg)[..., None]
+  f_ms = f_avg * f_avg * e_avg[..., None] / jnp.maximum(denom, 1e-4)
+  comp = (mu_o * (1.0 - e_i) * (1.0 - e_o)
+          / jnp.maximum(em.kPi * (1.0 - e_avg), 1e-5))[..., None] * f_ms
+
+  ok = (w_i[..., 2] > 0.0) & (w_o[..., 2] > 0.0)
+  return jnp.where(ok[..., None], single + comp, 0.0)
+
+
+def conductor_pdf_lut(w_i, w_o, alpha):
+  """pdf of conductor_sample_lut's mixture: p_spec * pdf_vndf-reflect +
+  (1-p_spec) * cos/pi. Used for eval-side MIS so sampling and evaluation
+  quote the same density."""
+  mu_i = jnp.maximum(w_i[..., 2], 1e-6)
+  mu_o = w_o[..., 2]
+  a_iso = _alpha_iso(alpha)
+  p_spec = jnp.clip(e_lookup(mu_i, a_iso), 0.05, 1.0)
+  wh = em.normalize(w_i + w_o)
+  pdf_spec = mf.vndf_pdf(w_i, wh, alpha) / (4.0 * jnp.maximum(em.dot(w_o, wh), 1e-9))
+  pdf_cos = jnp.maximum(mu_o, 0.0) / em.kPi
+  return jnp.where(mu_o > 0.0, p_spec * pdf_spec + (1.0 - p_spec) * pdf_cos, 0.0)
+
+
+def conductor_sample_lut(fresnel_fn, w_i, alpha, rnd):
+  """Walk-free conductor sampling consistent with conductor_eval_lut.
+
+  With probability p = E(mu_i) reflect off a sampled visible normal,
+  otherwise sample the cosine-shaped compensation lobe. Returns
+  (w_o local, weight (.,C), pdf (.,)). rnd: (..., >=5); columns 0:2 drive
+  the VNDF, 2 the lobe choice, 3:5 the compensation direction.
+  """
+  mu_i = jnp.maximum(w_i[..., 2], 1e-6)
+  a_iso = _alpha_iso(alpha)
+  e_i = e_lookup(mu_i, a_iso)
+  p_spec = jnp.clip(e_i, 0.05, 1.0)
+
+  m = mf.sample_vndf(rnd[..., 0:2], w_i, alpha)
+  w_spec = em.reflect(-w_i, m)
+  w_diff = em.sample_cosine_distribution(rnd[..., 3:5], 1.0)
+  take_spec = rnd[..., 2] < p_spec
+  w_o = jnp.where(take_spec[..., None], w_spec, w_diff)
+  mu_o = w_o[..., 2]
+  ok = mu_o > em.kEpsilon
+
+  # pdf of the mixture
+  wh = em.normalize(w_i + w_o)
+  pdf_spec = mf.vndf_pdf(w_i, wh, alpha) / (4.0 * jnp.maximum(em.dot(w_o, wh), 1e-9))
+  pdf_cos = jnp.maximum(mu_o, 0.0) / em.kPi
+  pdf = p_spec * pdf_spec + (1.0 - p_spec) * pdf_cos
+
+  f = conductor_eval_lut(fresnel_fn, w_i, w_o, alpha)
+  weight = f / jnp.maximum(pdf, 1e-9)[..., None]
+  weight = jnp.where(ok[..., None], weight, 0.0)
+  pdf = jnp.where(ok, pdf, 0.0)
+  return w_o, weight, pdf

@@ -317,9 +317,19 @@ def boundary_sample(scene, sd, rnd, spectral):
 # ---------------------------------------------------------------------------
 
 
+# Rough conductor/plastic multiple-scattering backend:
+#   "lut"  — energy-compensation tables (render/bsdf/energy_lut.py): zero
+#            loops, MXU/VPU-friendly; the TPU production default.
+#   "walk" — the reference-faithful stochastic Heitz walk
+#            (bsdf_external.hxx:281-466), kept as the semantics anchor;
+#            tests bound lut-vs-walk deviation (tests/test_energy_lut.py).
+MS_BACKEND = "lut"
+
+
 def conductor_sample(scene, sd, rnd, spectral, mask=None):
-  """MS-conductor sampling (bsdf_conductor.hxx:13-68): the Heitz walk for
-  rough lanes, exact delta reflection for smooth ones."""
+  """MS-conductor sampling (bsdf_conductor.hxx:13-68): energy-compensated
+  LUT lobe (or the Heitz walk, see MS_BACKEND) for rough lanes, exact
+  delta reflection for smooth ones."""
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
   frame, _ = normal_frame(sd)
@@ -333,9 +343,15 @@ def conductor_sample(scene, sd, rnd, spectral, mask=None):
   def fres(cos_t):
     return _fresnel_at(scene, sd, cos_t, spectral)
 
-  walk_mask = ~delta if mask is None else mask & ~delta
-  w_o_ms, energy = ms.conductor_sample_walk(fres, w_i_l, alpha_c, rnd,
-                                            active0=walk_mask)
+  pdf_rough = None
+  if MS_BACKEND == "lut":
+    from etx_tracer_tpu.render.bsdf import energy_lut
+    w_o_ms, energy, pdf_rough = energy_lut.conductor_sample_lut(
+        fres, w_i_l, alpha_c, rnd)
+  else:
+    walk_mask = ~delta if mask is None else mask & ~delta
+    w_o_ms, energy = ms.conductor_sample_walk(fres, w_i_l, alpha_c, rnd,
+                                              active0=walk_mask)
   refl = _reflectance(scene, sd, spectral)
 
   # delta path: mirror reflection with normal-incidence-frame Fresnel
@@ -347,8 +363,10 @@ def conductor_sample(scene, sd, rnd, spectral, mask=None):
   ok = w_o_l[..., 2] > em.kEpsilon
   weight = jnp.where(ok[..., None], weight, 0.0)
 
-  # reference pdf: D/( (1+Lambda) 4 cos_i ) + cos_o (bsdf_conductor.hxx:63)
-  pdf = jnp.where(delta, 1.0, mf.ms_pdf(w_i_l, w_o_l, alpha_c))
+  if pdf_rough is None:
+    # reference pdf: D/( (1+Lambda) 4 cos_i ) + cos_o (bsdf_conductor.hxx:63)
+    pdf_rough = mf.ms_pdf(w_i_l, w_o_l, alpha_c)
+  pdf = jnp.where(delta, 1.0, pdf_rough)
   pdf = jnp.where(ok, pdf, 0.0)
 
   w_o = em.from_local(frame, w_o_l)
@@ -360,7 +378,9 @@ def conductor_sample(scene, sd, rnd, spectral, mask=None):
 
 
 def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
-  """Stochastic MS eval (eval_conductor) with the reference pdf."""
+  """MS conductor eval: energy-compensated closed form (lut) or the
+  stochastic walk (eval_conductor), per MS_BACKEND; pdf matches the
+  active backend's sampling density."""
   from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
   frame, _ = normal_frame(sd)
@@ -372,31 +392,42 @@ def conductor_evaluate(scene, sd, w_o, spectral, mask=None):
   def fres(cos_t):
     return _fresnel_at(scene, sd, cos_t, spectral)
 
-  rough_max = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1])
-  walk_mask = ok & (rough_max > kDeltaAlpha)
-  if mask is not None:
-    walk_mask = walk_mask & mask
-  value = ms.conductor_eval_walk(fres, w_i_l, w_o_l, alpha,
-                                 w_o[..., 0] + sd.tex[..., 0],
-                                 w_o[..., 1] + sd.tex[..., 1],
-                                 active0=walk_mask)
+  if MS_BACKEND == "lut":
+    from etx_tracer_tpu.render.bsdf import energy_lut
+    value = energy_lut.conductor_eval_lut(fres, w_i_l, w_o_l, alpha)
+    pdf = energy_lut.conductor_pdf_lut(w_i_l, w_o_l, alpha)
+  else:
+    rough_max = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1])
+    walk_mask = ok & (rough_max > kDeltaAlpha)
+    if mask is not None:
+      walk_mask = walk_mask & mask
+    value = ms.conductor_eval_walk(fres, w_i_l, w_o_l, alpha,
+                                   w_o[..., 0] + sd.tex[..., 0],
+                                   w_o[..., 1] + sd.tex[..., 1],
+                                   active0=walk_mask)
+    pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
   refl = _reflectance(scene, sd, spectral)
   bsdf = refl * value
-  pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
   delta = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1]) <= kDeltaAlpha
   ok = ok & ~delta
   return jnp.where(ok[..., None], bsdf, 0.0), jnp.where(ok, pdf, 0.0)
 
 
 def conductor_pdf(scene, sd, w_o, spectral):
-  # analytic MS pdf (bsdf_conductor.hxx:119-136) — no walk instantiation
+  # analytic pdf matching the active backend's sampling density
+  # (reference: bsdf_conductor.hxx:119-136 — no walk instantiation)
   frame, _ = normal_frame(sd)
   alpha = mf.clamp_alpha(_roughness(sd, scene))
   w_i_l = em.to_local(frame, -sd.w_i)
   w_o_l = em.to_local(frame, w_o)
   ok = (w_i_l[..., 2] > em.kEpsilon) & (w_o_l[..., 2] > em.kEpsilon)
   delta = jnp.maximum(_roughness(sd, scene)[..., 0], _roughness(sd, scene)[..., 1]) <= kDeltaAlpha
-  return jnp.where(ok & ~delta, mf.ms_pdf(w_i_l, w_o_l, alpha), 0.0)
+  if MS_BACKEND == "lut":
+    from etx_tracer_tpu.render.bsdf import energy_lut
+    pdf = energy_lut.conductor_pdf_lut(w_i_l, w_o_l, alpha)
+  else:
+    pdf = mf.ms_pdf(w_i_l, w_o_l, alpha)
+  return jnp.where(ok & ~delta, pdf, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -194,6 +194,16 @@ class IORDatabase:
     key = os.path.splitext(os.path.basename(name))[0].lower()
     if key in self.entries:
       return self.entries[key]
+    # Lorentz-Drude full-range curves (Rakic et al. 1998 parameters) for
+    # the core conductors — data-backed, preferred over the coarse tables
+    from etx_tracer_tpu.scene import spectral_data as sdata
+    ld_key = sdata.LD_ALIASES.get(key, key)
+    if ld_key in sdata.LD_METALS:
+      eta, k = sdata.conductor_spectra(ld_key)
+      return sp.SpectralDistribution.CLASS_CONDUCTOR, eta, k
+    if key == "d65":
+      spd = sdata.d65()
+      return sp.SpectralDistribution.CLASS_ILLUMINANT, spd, None
     if key in _BUILTIN_CONDUCTORS:
       wl, n, kk = _BUILTIN_CONDUCTORS[key]
       cls = sp.SpectralDistribution.CLASS_CONDUCTOR

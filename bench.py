@@ -17,6 +17,13 @@ import time
 import jax
 import numpy as np
 
+# Persistent compilation cache: the big pool-render graphs take minutes to
+# compile on this single-core host; cached executables make repeat bench
+# runs (and the driver's end-of-round run after an interactive session)
+# start in seconds instead.
+jax.config.update("jax_compilation_cache_dir", "/tmp/etx_jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
 
 def _emit(metric, value, unit, vs_baseline):
   print(json.dumps({
@@ -36,10 +43,14 @@ def bench_cornell_pt():
                                 max_path_length=1023)
   scene, config = b.build()
 
-  iters = 8
+  iters = 16
   # warmup/compile (pooled wavefront renderer with lane regeneration);
-  # first_iteration is traced, so timed calls reuse the executable
-  sums, rays = path_tracing.render_samples_static(scene, config, 0, iters)
+  # first_iteration is traced, so timed calls reuse the executable.
+  # pool 2^18 = one lane per pixel: measured best on v5e (127.6 vs 123.3
+  # at 2^17 / 101.0 at 2^19 — wider pools lose to film-row bandwidth)
+  pool = 1 << 18
+  sums, rays = path_tracing.render_samples_compiled(scene, config, 0, iters,
+                                                    pool)
   jax.block_until_ready(sums.table)
 
   # Under tunneled backends block_until_ready may not force completion;
@@ -49,7 +60,8 @@ def bench_cornell_pt():
   t0 = time.time()
   total_rays = 0.0
   for rep in range(1, 1 + reps):
-    sums, rays = path_tracing.render_samples_static(scene, config, rep, iters)
+    sums, rays = path_tracing.render_samples_compiled(scene, config, rep,
+                                                      iters, pool)
     total_rays += float(rays)  # forces execution + transfer
   dt = time.time() - t0
 
@@ -73,15 +85,18 @@ def bench_time_to_1024spp():
   scene, config = b.build()
 
   chunk = 64  # iterations per jitted call (static arg; reuses executable)
+  pool = 1 << 18
   # compile
-  sums, rays = path_tracing.render_samples_static(scene, config, 0, chunk)
+  sums, rays = path_tracing.render_samples_compiled(scene, config, 0, chunk,
+                                                    pool)
   jax.block_until_ready(sums.table)
 
   total_rays = 0.0
   t0 = time.time()
   acc = None
   for start in range(0, 1024, chunk):
-    s, rays = path_tracing.render_samples_static(scene, config, start, chunk)
+    s, rays = path_tracing.render_samples_compiled(scene, config, start,
+                                                   chunk, pool)
     acc = s.table if acc is None else acc + s.table  # FilmSums is additive
     total_rays += float(rays)  # forces completion per chunk
   dt = time.time() - t0
@@ -93,16 +108,18 @@ def bench_time_to_1024spp():
   _emit("cornell512_time_to_1024spp", dt, "s", target_time / dt)
 
 
-def _pt_mrays(builder, iters=4, reps=2):
+def _pt_mrays(builder, iters=4, reps=2, pool=1 << 18):
   from etx_tracer_tpu.models import path_tracing
   scene, config = builder.build()
-  sums, rays = path_tracing.render_samples_static(scene, config, 0, iters)
+  sums, rays = path_tracing.render_samples_compiled(scene, config, 0, iters,
+                                                    pool)
   jax.block_until_ready(sums.table)
   float(rays)
   t0 = time.time()
   total = 0.0
   for rep in range(1, 1 + reps):
-    sums, rays = path_tracing.render_samples_static(scene, config, rep, iters)
+    sums, rays = path_tracing.render_samples_compiled(scene, config, rep,
+                                                      iters, pool)
     total += float(rays)
   dt = time.time() - t0
   img = np.asarray(path_tracing.finalize_film(sums, iters).camera)
@@ -111,17 +128,19 @@ def _pt_mrays(builder, iters=4, reps=2):
 
 
 def bench_materials():
-  """Config 2: conductor/dielectric/thinfilm showcase, spectral."""
+  """Config 2: conductor/dielectric/thinfilm showcase, spectral, 512²
+  (film size per BASELINE.md; 256² gave every pool lane only 2 samples, so
+  the measurement was dominated by the Russian-roulette tail)."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.materials((256, 256)))
+  mrays = _pt_mrays(scenes.materials((512, 512)), iters=8)
   _emit("materials_spectral_pt_throughput", mrays, "Mrays/s/chip",
         mrays / 100.0)
 
 
 def bench_atmosphere():
-  """Config 3: atmosphere sun/sky + DOF, spectral."""
+  """Config 3: atmosphere sun/sky + DOF, spectral, 512² (BASELINE.md)."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.atmosphere_scene((256, 256)))
+  mrays = _pt_mrays(scenes.atmosphere_scene((512, 512)), iters=8)
   _emit("atmosphere_spectral_pt_throughput", mrays, "Mrays/s/chip",
         mrays / 100.0)
 
@@ -162,9 +181,9 @@ def bench_caustics():
 
 
 def bench_bigscene():
-  """15k-triangle scene through the fat-node Pallas BVH kernels."""
+  """15k-triangle scene through the fat-node Pallas BVH kernels, 512²."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.bigscene((256, 256)))
+  mrays = _pt_mrays(scenes.bigscene((512, 512)), iters=8)
   _emit("bigscene_pt_throughput", mrays, "Mrays/s/chip", mrays / 100.0)
 
 
@@ -193,8 +212,8 @@ def bench_vcm_correctness():
     fs = vcm.render_iteration(scene, config, options, fs, i)
   img_vcm = np.asarray(film_mod.result_image(fs))
 
-  sums, _ = path_tracing.render_samples_static(scene, config, 0, 2048,
-                                               pool_size=1 << 16)
+  sums, _ = path_tracing.render_samples_compiled(scene, config, 0, 2048,
+                                                 pool_size=1 << 16)
   img_pt = np.asarray(path_tracing.finalize_film(sums, 2048,
                                                  config.film_width).camera)
 

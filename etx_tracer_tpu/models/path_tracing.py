@@ -1178,6 +1178,18 @@ def render_samples_static(scene, config, first_iteration, num_iterations: int,
   return FilmSums(table), state.rays_traced
 
 
+# Whole-call jitted pool renderer. One device execution per call (the
+# unjitted path runs each cascade phase + fold as separate dispatches), and
+# — measured on v5e — XLA compiles the single fused graph ~5x faster than
+# the per-phase eager path (71 s vs 403 s on Cornell 256²). first_iteration
+# is a traced argument, so repeat calls with different offsets reuse the
+# executable.
+render_samples_compiled = jax.jit(
+    render_samples_static,
+    static_argnames=("config", "num_iterations", "pool_size", "unroll",
+                     "full_height"))
+
+
 def render_preview(scene, config, pixel_size: int = 8, iterations: int = 1,
                    pool_size: int = 1 << 17):
   """Progressive preview: render the film at 1/pixel_size resolution and

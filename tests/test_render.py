@@ -253,3 +253,21 @@ def test_denoiser_reduces_noise_on_cornell():
   mse_den = float(((den - ref)[m] ** 2).mean())
   assert np.isfinite(den).all()
   assert mse_den < mse_noisy / 3.0, (mse_den, mse_noisy)
+
+
+def test_render_samples_compiled_matches_static():
+  """The whole-call jitted wrapper must reproduce render_samples_static
+  bit-for-bit (same trace, one executable; first_iteration is a traced
+  argument so repeat calls at different offsets reuse the compile)."""
+  import numpy as np
+  from etx_tracer_tpu.models import path_tracing
+  from etx_tracer_tpu.scene import cornell
+
+  scene, config = cornell.build_cornell_box(
+      film_size=(16, 16), diffuse_only=True, max_path_length=4).build()
+  a, ra = path_tracing.render_samples_static(scene, config, 3, 2,
+                                             pool_size=16 * 16)
+  b, rb = path_tracing.render_samples_compiled(scene, config, 3, 2,
+                                               pool_size=16 * 16)
+  np.testing.assert_array_equal(np.asarray(a.table), np.asarray(b.table))
+  assert float(ra) == float(rb)

@@ -50,12 +50,22 @@ def _collect_mesh(obj, depsgraph):
   return out
 
 
+# Blender metallic presets -> spectral IOR database names (the reference
+# maps its Metallic node to a named conductor, logic.py:1617-1620).
+_METAL_IOR_NAMES = {"gold": "Au", "silver": "Ag", "copper": "Cu",
+                    "aluminium": "Al", "aluminum": "Al"}
+
+
 def _material_props(mat):
   props = {"cls": "principled", "base_color": (0.8, 0.8, 0.8),
            "roughness": 0.5, "metalness": 0.0, "transmission": 0.0,
            "ior": 1.5, "opacity": 1.0, "maps": {}}
   if mat is None or not mat.use_nodes:
     return props
+  # custom property escape hatch: spectral IOR by database name
+  ior_name = mat.get("etx_ior") if hasattr(mat, "get") else None
+  if ior_name:
+    props["ior_name"] = str(ior_name)
   for node in mat.node_tree.nodes:
     if node.type == "BSDF_PRINCIPLED":
       def val(name, default):
@@ -74,12 +84,102 @@ def _material_props(mat):
       if em is not None:
         props["emission"] = tuple(em.default_value)[:3]
         props["emission_strength"] = val("Emission Strength", 0.0)
+        # Blackbody node feeding emission -> exact spectral emitter
+        if em.is_linked and em.links and em.links[0].from_node.type == "BLACKBODY":
+          bb = em.links[0].from_node
+          props["emission_blackbody"] = {
+              "temperature": float(bb.inputs["Temperature"].default_value),
+              "strength": val("Emission Strength", 1.0),
+              "normalized": True,
+          }
+      # subsurface: Weight>0 turns on the random-walk block
+      # (reference logic.py:1462 socket aliases; loader `subsurface` token)
+      sss_w = val("Subsurface Weight", val("Subsurface", 0.0))
+      if sss_w > 1e-5:
+        radius = node.inputs.get("Subsurface Radius")
+        dist = tuple(radius.default_value)[:3] if radius is not None \
+            else (1.0, 0.2, 0.04)
+        props["subsurface"] = {
+            "distances": dist,
+            "scale": sss_w * val("Subsurface Scale", 1.0),
+        }
+      # thin film (Blender 4.2+ principled sockets)
+      tf_thick = val("Thin Film Thickness", 0.0)
+      if tf_thick > 1e-3:
+        props["thinfilm"] = {
+            "min_nm": tf_thick, "max_nm": tf_thick,
+            "ior": val("Thin Film IOR", 1.33),
+        }
+      if props["metalness"] > 0.999 and "ior_name" not in props:
+        # fully-metallic principled: prefer a named spectral conductor
+        # when the material name hints at one
+        lname = mat.name.lower()
+        for hint, db_name in _METAL_IOR_NAMES.items():
+          if hint in lname:
+            props["ior_name"] = db_name
+            break
       break
     if node.type == "BSDF_GLASS":
       props["cls"] = "dielectric"
     elif node.type == "BSDF_DIFFUSE":
       props["cls"] = "diffuse"
+    elif node.type == "BSDF_METALLIC":
+      props["cls"] = "conductor"
+      props["ior_name"] = _METAL_IOR_NAMES.get(mat.name.lower(), "Ag")
   return props
+
+
+def _extract_medium(mat, used_ids):
+  """Volume Absorption / Volume Scatter nodes -> et::medium entry
+  (reference logic.py:1839-1926). Returns (medium dict | None, id | None)."""
+  if mat is None or not mat.use_nodes or mat.node_tree is None:
+    return None, None
+  output = None
+  for node in mat.node_tree.nodes:
+    if node.type == "OUTPUT_MATERIAL" and node.is_active_output:
+      output = node
+      break
+  if output is None or "Volume" not in output.inputs \
+      or not output.inputs["Volume"].is_linked:
+    return None, None
+
+  absorption = None
+  scattering = None
+  anisotropy = 0.0
+
+  def walk(node):
+    nonlocal absorption, scattering, anisotropy
+    if node is None:
+      return
+    if node.type == "VOLUME_ABSORPTION":
+      c = node.inputs["Color"].default_value
+      d = float(node.inputs["Density"].default_value)
+      absorption = [float(c[0]) * d, float(c[1]) * d, float(c[2]) * d]
+      return
+    if node.type == "VOLUME_SCATTER":
+      c = node.inputs["Color"].default_value
+      d = float(node.inputs["Density"].default_value)
+      scattering = [float(c[0]) * d, float(c[1]) * d, float(c[2]) * d]
+      aniso = node.inputs.get("Anisotropy")
+      if aniso is not None:
+        anisotropy = float(aniso.default_value)
+      return
+    for inp in node.inputs:
+      if getattr(inp, "is_linked", False) and inp.links:
+        walk(inp.links[0].from_node)
+
+  walk(output.inputs["Volume"].links[0].from_node)
+  if absorption is None and scattering is None:
+    return None, None
+  base = mat.name.replace(" ", "_") + "__vol"
+  mid = base
+  i = 1
+  while mid in used_ids:
+    mid = f"{base}_{i}"
+    i += 1
+  used_ids.add(mid)
+  return {"id": mid, "absorption": absorption, "scattering": scattering,
+          "anisotropy": anisotropy}, mid
 
 
 def _camera_data(scene):
@@ -126,12 +226,19 @@ class ExportEtxTracerTPU(bpy.types.Operator, ExportHelper):
 
     meshes = []
     materials = {}
+    mediums = []
+    used_medium_ids = set()
     for obj in context.scene.objects:
       if obj.type != "MESH" or obj.hide_render:
         continue
       m = _collect_mesh(obj, depsgraph)
       meshes.append(m)
-      materials[m["material"]] = _material_props(obj.active_material)
+      props = _material_props(obj.active_material)
+      med, mid = _extract_medium(obj.active_material, used_medium_ids)
+      if med is not None:
+        mediums.append(med)
+        props["int_medium"] = mid
+      materials[m["material"]] = props
 
     blocks = []
     cam = _camera_data(context.scene)
@@ -153,6 +260,10 @@ class ExportEtxTracerTPU(bpy.types.Operator, ExportHelper):
         c = tuple(obj.data.color)[:3]
         blocks.append(serialize.sun_block((-d.x, -d.y, -d.z),
                                           [ci * e for ci in c]))
+    # medium blocks precede the materials that reference them — the loader
+    # resolves int_medium/ext_medium by name at parse time
+    for med in mediums:
+      blocks.append(serialize.medium_block(med))
     for name, props in materials.items():
       blocks.append(serialize.material_block(name, props))
 

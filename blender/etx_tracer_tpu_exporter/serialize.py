@@ -64,11 +64,17 @@ def write_obj(path: str, meshes: list) -> None:
 
 
 def material_block(name: str, props: dict) -> str:
-  """Extended-MTL block from a property dict (reference logic.py:97-246).
+  """Extended-MTL block from a property dict (reference logic.py:97-246,
+  1421-1663 — principled/glass/glossy/metallic/volume node extraction).
 
   props keys: cls, base_color (linear rgb), roughness, metalness,
-  transmission, ior, emission (linear rgb), emission_strength, opacity,
-  maps {kd, normal, roughness, metalness}, two_sided.
+  transmission, ior, ior_name (spectral IOR name, e.g. "Au" — wins over
+  the scalar ior), emission (linear rgb), emission_strength,
+  emission_blackbody {temperature, strength, normalized}, opacity,
+  maps {kd, normal, roughness, metalness, transmission}, two_sided,
+  int_medium / ext_medium (ids of medium_block entries),
+  subsurface {distances (r,g,b), scale, approximate},
+  thinfilm {min_nm, max_nm, ior (scalar or spectral name)}.
   """
   lines = [f"newmtl {sanitize_name(name)}"]
   cls = props.get("cls", "principled")
@@ -85,13 +91,42 @@ def material_block(name: str, props: dict) -> str:
     lines.append(f"metalness {props['metalness']:.6f}")
   if props.get("transmission", 0.0) > 1e-5:
     lines.append(f"transmission {props['transmission']:.6f}")
-  if abs(props.get("ior", 1.5) - 1.5) > 1e-5:
+  if props.get("ior_name"):
+    # spectral IOR by database name (reference logic.py:1617-1620)
+    lines.append(f"int_ior {props['ior_name']}")
+  elif abs(props.get("ior", 1.5) - 1.5) > 1e-5:
     lines.append(f"int_ior {props['ior']:.6f}")
   if props.get("opacity", 1.0) < 1.0:
     lines.append(f"opacity {props['opacity']:.6f}")
+  if props.get("int_medium"):
+    lines.append(f"int_medium {props['int_medium']}")
+  if props.get("ext_medium"):
+    lines.append(f"ext_medium {props['ext_medium']}")
+  sss = props.get("subsurface")
+  if sss:
+    d = sss.get("distances", (1.0, 0.2, 0.04))
+    tok = (f"subsurface distances {d[0]:.6f} {d[1]:.6f} {d[2]:.6f}"
+           f" scale {sss.get('scale', 1.0):.6f}")
+    if sss.get("approximate"):
+      tok += " class approximate"
+    lines.append(tok)
+  tf = props.get("thinfilm")
+  if tf:
+    ior = tf.get("ior", 1.5)
+    ior_tok = ior if isinstance(ior, str) else f"{ior:.6f}"
+    lines.append(f"thinfilm range {tf.get('min_nm', 100.0):.3f} "
+                 f"{tf.get('max_nm', 400.0):.3f} ior {ior_tok}")
+  bb = props.get("emission_blackbody")
   em_rgb = props.get("emission")
   em_s = props.get("emission_strength", 0.0)
-  if em_rgb is not None and em_s > 0.0 and max(em_rgb[:3]) > 0.0:
+  if bb is not None:
+    kind = "nblackbody" if bb.get("normalized", True) else "blackbody"
+    tok = (f"emitter {kind} {bb['temperature']:.0f}"
+           f" scale {bb.get('strength', 1.0):.6f}")
+    if props.get("two_sided"):
+      tok += " twosided"
+    lines.append(tok)
+  elif em_rgb is not None and em_s > 0.0 and max(em_rgb[:3]) > 0.0:
     scaled = [c * em_s for c in em_rgb[:3]]
     tok = "emitter color " + fmt_rgb(scaled)
     if props.get("two_sided"):
@@ -104,8 +139,32 @@ def material_block(name: str, props: dict) -> str:
     lines.append(f"map_Pr {maps['roughness']}")
   if maps.get("metalness"):
     lines.append(f"map_Ml {maps['metalness']}")
+  if maps.get("transmission"):
+    lines.append(f"map_Tm {maps['transmission']}")
   if maps.get("normal"):
     lines.append(f"normalmap image {maps['normal']}")
+  return "\n".join(lines) + "\n"
+
+
+def medium_block(med: dict) -> str:
+  """et::medium block (reference logic.py:1839-1926 volume-node extraction;
+  parsed by scene/obj_loader.py:_parse_medium).
+
+  med keys: id, absorption (rgb), scattering (rgb), anisotropy, volume
+  (optional grid path), enclosed (bool: no explicit boundary connections).
+  """
+  lines = ["newmtl et::medium", f"id {med['id']}"]
+  if med.get("absorption") is not None:
+    lines.append("absorption " + fmt_rgb(med["absorption"]))
+  if med.get("scattering") is not None:
+    lines.append("scattering " + fmt_rgb(med["scattering"]))
+  g = med.get("anisotropy", 0.0)
+  if abs(g) > 1e-6:
+    lines.append(f"anisotropy {g:.6f}")
+  if med.get("volume"):
+    lines.append(f"volume {med['volume']}")
+  if med.get("enclosed"):
+    lines.append("enclosed 1")
   return "\n".join(lines) + "\n"
 
 

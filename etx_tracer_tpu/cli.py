@@ -60,7 +60,11 @@ def _render_image(scene, config, args):
         "bdpt-fast": vcm.bdpt_fast_options(),
         "lt": vcm.light_tracing_options(),
     }[kind]
-    fs = vcm.render(scene, config, options=options, iterations=spp)
+    if args.adaptive:
+      fs, _counts = vcm.render_adaptive(scene, config, options=options,
+                                        max_iterations=spp)
+    else:
+      fs = vcm.render(scene, config, options=options, iterations=spp)
     return np.asarray(film_mod.result_image(fs))
 
   # unidirectional PT variants
@@ -169,7 +173,7 @@ def main(argv=None):
                   choices=["pt", "bdpt", "bdpt-fast", "vcm", "lt", "debug"])
   pr.add_argument("--aov", default="normals")
   pr.add_argument("--adaptive", action="store_true",
-                  help="adaptive per-pixel sampling (pt only)")
+                  help="adaptive per-pixel sampling (pt/vcm/bdpt/lt)")
   pr.add_argument("--devices", type=int, default=None,
                   help="shard over N devices (pt only)")
   pr.add_argument("--reference", default=None)

@@ -868,13 +868,20 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
 
 def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVertices,
                 grid, radius, vc_weight, vm_weight, vm_normalization,
-                pixel_offset=0, full_height: int | None = None):
+                pixel_offset=0, full_height: int | None = None,
+                active_mask=None):
   """Camera subpaths with direct hit / NEE / vertex connections / merging
   (vcm_camera_step, vcm_shared.hxx:927-1079).
 
   pixel_offset/full_height: band rendering for the sharded path — pixel ids
   shift to GLOBAL film ids for RNG seeding, lane-aligned light-path pairing
   and camera UVs, so each shard reproduces the single-device lanes.
+
+  active_mask: optional (npix,) bool — converged pixels start DEAD, so the
+  compaction cascade drops them in the first pass (the film-level
+  active-pixel skipping every reference CPU integrator gets from
+  film.cxx:434-459). Skipped lanes return 0; the adaptive accumulator
+  leaves their running means untouched.
   """
   spectral = config.spectral
   classes = config.material_classes
@@ -912,7 +919,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       d_vcm=1.0 / jnp.maximum(film_pdf, 1e-20), d_vc=jnp.zeros(r), d_vm=jnp.zeros(r),
       eta=jnp.ones(r), medium=jnp.broadcast_to(scene.camera.medium_index, (r,)).astype(jnp.int32),
       path_depth=jnp.ones(r, jnp.int32), path_distance=jnp.zeros(r),
-      rng_state=rng_state, wl=wl, alive=jnp.ones(r, bool),
+      rng_state=rng_state, wl=wl,
+      alive=jnp.ones(r, bool) if active_mask is None else active_mask,
       delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool))
 
   merged_total = jnp.zeros((r, 3))
@@ -1528,3 +1536,65 @@ def render(scene, config, options: VCMOptions | None = None, iterations: int | N
   for i in range(n):
     fs = render_iteration(scene, config, options, fs, i)
   return fs
+
+
+@functools.partial(jax.jit, static_argnames=("config", "options"))
+def _render_iteration_adaptive_jit(scene, config, options: VCMOptions,
+                                   film_state, counts, iteration, sched,
+                                   active):
+  """One VCM iteration with film-level active-pixel skipping
+  (film.cxx:434-459 applied to the camera pass; the light pass is
+  pixel-agnostic and always runs in full, exactly like the reference's
+  light gather which iterates path indices, vcm_cpu.cxx:126)."""
+  w, h = config.film_width, config.film_height
+  npix = w * h
+  radius, vc_weight, vm_weight, vm_normalization = sched
+
+  verts, splat_img, l_state = light_pass(
+      scene, config, options, iteration, npix, vc_weight, vm_weight)
+
+  grid = build_merge_grid(scene, verts, l_state.wl, radius, config.spectral,
+                          cell_cap=options.max_photons_per_cell) \
+      if options.enable_merging else None
+
+  camera_rgb = camera_pass(scene, config, options, iteration, verts, grid,
+                           radius, vc_weight, vm_weight, vm_normalization,
+                           active_mask=active.reshape(-1))
+
+  film_state = film_state._replace(
+      light_iteration=film_state.light_iteration + splat_img)
+  film_state = film_mod.commit_light_iteration(film_state)
+  colors = camera_rgb.reshape(h, w, 3)
+  return film_mod.accumulate_camera_masked(film_state, colors, counts, active)
+
+
+def render_adaptive(scene, config, options: VCMOptions | None = None,
+                    max_iterations: int | None = None, min_samples: int = 32):
+  """Progressive VCM/BDPT render with adaptive camera-pass termination.
+
+  Mirrors the reference film's adaptive sampling, which every CPU
+  integrator inherits (film.cxx:233-330,434-459): after `min_samples`
+  full iterations, pixels whose full/half-buffer relative deviation falls
+  below config.noise_threshold stop spawning camera subpaths; the
+  unconverged set is dilated to 5-px blocks. Light-pass splats continue to
+  land everywhere (so the light layer stays unbiased), and the run
+  auto-stops when no pixel remains active.
+  """
+  options = options or VCMOptions()
+  n = config.samples if max_iterations is None else max_iterations
+  w, h = config.film_width, config.film_height
+  fs = film_mod.allocate(w, h)
+  warm = min(min_samples, n)
+  for i in range(warm):
+    fs = render_iteration(scene, config, options, fs, i)
+  counts = jnp.full((h, w), float(warm), jnp.float32)
+  for i in range(warm, n):
+    noise = film_mod.noise_estimate(fs)
+    active = film_mod.dilate_mask(noise > config.noise_threshold)
+    if not bool(jnp.any(active)):
+      break
+    sched = radius_schedule(scene, config, options, i)
+    fs, counts = _render_iteration_adaptive_jit(
+        scene, config, options, fs, counts, jnp.asarray(i, jnp.int32),
+        sched, active)
+  return fs, counts

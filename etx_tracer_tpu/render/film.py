@@ -50,6 +50,28 @@ def accumulate_camera(state: FilmState, colors, normals, albedos) -> FilmState:
                         variance_half=vh, iteration=it + 1)
 
 
+def accumulate_camera_masked(state: FilmState, colors, counts, active):
+  """Per-pixel running mean for adaptive passes (film.cxx:434-459 semantics:
+  converged pixels receive no samples, so their mean and per-pixel tally
+  freeze while neighbours keep accumulating).
+
+  colors: (H,W,3) this iteration's samples (garbage where inactive);
+  counts: (H,W) per-pixel samples folded so far; active: (H,W) bool.
+  Returns (new_state, new_counts). The global iteration counter still
+  advances — it drives the light-image average and RNG streams.
+  """
+  a = active.astype(jnp.float32)[..., None]
+  c = counts[..., None]
+  t = a / (c + 1.0)
+  cam = state.camera + (colors - state.camera) * t
+  even = ((counts % 2.0) == 0.0)[..., None]
+  t2 = jnp.where(even, 2.0 / (c + 2.0), 0.0) * a
+  vh = state.variance_half + (colors - state.variance_half) * t2
+  new_state = state._replace(camera=cam, variance_half=vh,
+                             iteration=state.iteration + 1)
+  return new_state, counts + active.astype(jnp.float32)
+
+
 def splat_light(state: FilmState, ndc_uv, values) -> FilmState:
   """Scatter-add light-tracing contributions into the iteration buffer.
 
@@ -88,6 +110,20 @@ def noise_estimate(state: FilmState) -> jnp.ndarray:
   lum_full = jnp.sum(state.camera * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
   lum_half = jnp.sum(state.variance_half * jnp.array([0.212671, 0.715160, 0.072169]), axis=-1)
   return jnp.abs(lum_full - lum_half) / jnp.maximum(jnp.abs(lum_full), 1e-4)
+
+
+def dilate_mask(active: jnp.ndarray, k: int = 5) -> jnp.ndarray:
+  """k x k block dilation of a (H,W) bool map (film.cxx:302-330 — the
+  reference grows every unconverged pixel to a 5px block so neighbors keep
+  sampling and block seams don't show)."""
+  h, w = active.shape
+  pad = k // 2
+  act = jnp.pad(active, pad)
+  out = jnp.zeros_like(active)
+  for dy in range(k):
+    for dx in range(k):
+      out = out | act[dy:dy + h, dx:dx + w]
+  return out
 
 
 def _hsv_to_rgb(h, s, v):

@@ -26,6 +26,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses that escape axon
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent executable cache: the suite is dominated by XLA:CPU compiles of
+# the big pooled-render graphs; caching them makes repeat runs (and the fast
+# tier) start in seconds instead of minutes.
+jax.config.update("jax_compilation_cache_dir", "/tmp/etx_jaxcache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; axon sitecustomize re-forced the TPU backend")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -87,8 +88,18 @@ def _render_image(scene, config, args):
 
 
 def cmd_render(args):
-  from etx_tracer_tpu.utils import image_io
+  from etx_tracer_tpu.utils import image_io, prefs
 
+  if args.scene == "recent":
+    recent = prefs.recent_files()
+    if not recent:
+      print("[etx-tpu] no recent scene files", file=sys.stderr)
+      return
+    args.scene = recent[0]
+    print(f"[etx-tpu] rendering most recent scene: {args.scene}",
+          file=sys.stderr)
+  if os.path.exists(args.scene):
+    prefs.add_recent(args.scene, integrator=args.integrator)
   scene, config = _load(args.scene, args)
   print(f"[etx-tpu] scene loaded: {int(scene.tri_idx.shape[0])} triangles, "
         f"{config.film_width}x{config.film_height}, {config.samples} spp, "
@@ -151,10 +162,12 @@ def cmd_view(args):
     b = cornell.build_cornell_box(film_size=size, max_path_length=8)
   else:
     from etx_tracer_tpu.scene import json_scene
+    from etx_tracer_tpu.utils import prefs
     b = json_scene.load_scene(args.scene)
     if args.size:
       w, h = args.size.lower().split("x")
       b.film_size = (int(w), int(h))
+    prefs.add_recent(args.scene)
   viewer_server.serve(b, port=args.port)
 
 
@@ -163,7 +176,7 @@ def main(argv=None):
   sub = p.add_subparsers(dest="cmd", required=True)
 
   pr = sub.add_parser("render")
-  pr.add_argument("scene")
+  pr.add_argument("scene", help="scene file, 'cornell', or 'recent' (most recent from prefs)")
   pr.add_argument("-o", "--output", default=None)
   pr.add_argument("--spp", type=int, default=None)
   pr.add_argument("--size", default=None)

@@ -40,13 +40,107 @@ class DebugMode:
   ReflectanceColor = 13
   IOR = 14
   Random = 15
-  Count = 16
+  Spectrums = 16
+  ThinfilmCurve = 17
+  Count = 18
+
+
+def _render_spectrums(config):
+  """Spectral-pipeline validation plot (debug.cxx Mode::Spectrums): 9
+  horizontal bands of canonical SPDs (blackbody series, D65, constant,
+  RGB-upsampled reflectance/luminance), each normalized to unit luminance;
+  LEFT half = one-wavelength spectral estimate per pixel (sech^2 sampler,
+  /pdf, CIE->RGB), RIGHT half = the RGB integration path. The two halves
+  must agree visually — a live end-to-end check of the spectral stack."""
+  import numpy as np
+
+  from etx_tracer_tpu.core import rng as rng_mod
+  from etx_tracer_tpu.core import spectrum as sp
+  from etx_tracer_tpu.scene import spectral_data
+
+  w, h = config.film_width, config.film_height
+  spds = [
+      sp.SpectralDistribution.from_normalized_black_body(2700.0),
+      sp.SpectralDistribution.from_normalized_black_body(4000.0),
+      sp.SpectralDistribution.from_normalized_black_body(6500.0),
+      sp.SpectralDistribution.from_normalized_black_body(12000.0),
+      sp.SpectralDistribution.from_normalized_black_body(20000.0),
+      spectral_data.d65(),
+      sp.SpectralDistribution.constant(0.5),
+      sp.SpectralDistribution.rgb_reflectance((0.5, 0.5, 0.5)),
+      sp.SpectralDistribution.rgb_luminance((0.5, 0.5, 0.5)),
+  ]
+  bank, rgbs = [], []
+  for s in spds:
+    lum = max(s.luminance(), 1e-9)
+    vals = np.asarray(s.values, np.float32) / lum
+    bank.append(vals)
+    rgbs.append(sp.SpectralDistribution(vals, s.cls).integrated_rgb())
+  bank = jnp.asarray(np.stack(bank))        # (9, S)
+  rgbs = jnp.asarray(np.stack(rgbs), jnp.float32)  # (9, 3)
+
+  pix = jnp.arange(w * h, dtype=jnp.int32)
+  x = pix % w
+  y = pix // w
+  band = jnp.clip((9 * (h - 1 - y)) // h, 0, 8)
+  # 8 stratified wavelength samples per pixel: the reference accumulates
+  # this plot progressively; a one-shot AOV needs a readable estimate
+  st = rng_mod.seed(pix.astype(jnp.uint32),
+                    jnp.zeros_like(pix).astype(jnp.uint32))
+  spectral_rgb = jnp.zeros((w * h, 3))
+  n_s = 8
+  for i in range(n_s):
+    st, rnd = rng_mod.next_float(st)
+    wl = sp.sample_wavelength((i + rnd) / n_s)
+    spec_v = sp.query_bank(bank, band, wl)[..., 0]
+    spectral_rgb = spectral_rgb + sp.xyz_to_rgb(sp.spectral_to_xyz(
+        spec_v / sp.sampling_pdf(wl), wl))
+  spectral_rgb = spectral_rgb / n_s
+  rgb_v = rgbs[band]
+  img = jnp.where((x < w // 2)[..., None], spectral_rgb, rgb_v)
+  return img.reshape(h, w, 3)
+
+
+def _render_thinfilm_curve(config):
+  """Thin-film interference response plot (debug.cxx Mode::Thinfilm):
+  x -> cos(theta) from 1 (left) to 0 (right), y -> film thickness 0..2500nm;
+  per-pixel spectral sample through the production fresnel_thinfilm
+  (air outside, film eta 1.4, glass base eta 1.5), CIE->RGB."""
+  from etx_tracer_tpu.core import rng as rng_mod
+  from etx_tracer_tpu.core import spectrum as sp
+  from etx_tracer_tpu.render.bsdf import common as bsdf_common
+
+  w, h = config.film_width, config.film_height
+  pix = jnp.arange(w * h, dtype=jnp.int32)
+  x = pix % w
+  y = pix // w
+  cos_theta = 1.0 - (x.astype(jnp.float32) + 0.5) / w
+  thickness = (y.astype(jnp.float32) + 0.5) / h * 2500.0
+  st = rng_mod.seed(pix.astype(jnp.uint32),
+                    jnp.zeros_like(pix).astype(jnp.uint32))
+
+  def ior(eta):
+    return (jnp.full_like(cos_theta, eta), jnp.zeros_like(cos_theta))
+
+  rgb = jnp.zeros((w * h, 3))
+  n_s = 8
+  for i in range(n_s):
+    st, rnd = rng_mod.next_float(st)
+    wl = sp.sample_wavelength((i + rnd) / n_s)
+    f = bsdf_common.fresnel_thinfilm(wl, cos_theta, ior(1.0), ior(1.4),
+                                     ior(1.5), thickness)
+    rgb = rgb + sp.xyz_to_rgb(sp.spectral_to_xyz(f / sp.sampling_pdf(wl), wl))
+  return (rgb / n_s).reshape(h, w, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "mode"))
 def render_debug(scene, config, mode: int = DebugMode.Normals):
   """Render one AOV image (H, W, 3)."""
   w, h = config.film_width, config.film_height
+  if mode == DebugMode.Spectrums:
+    return _render_spectrums(config)
+  if mode == DebugMode.ThinfilmCurve:
+    return _render_thinfilm_curve(config)
   state = pt.make_lane_payload(scene, config,
                                jnp.arange(w * h, dtype=jnp.int32), w * h)
   hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d, state.t_min, state.t_max)

@@ -121,15 +121,38 @@ def atmosphere_scene(size=(512, 512)):
   return b
 
 
+def _cloud_vol_path():
+  """Generate the benchmark cloud as a Mitsuba .vol file once, then LOAD it
+  back through the production density-grid loader — config 4 must exercise
+  the real .nvdb/.vol path (BASELINE.md config 4; medium_pool.cxx:94-150),
+  not an in-memory array."""
+  import os
+  import struct
+  import tempfile
+
+  path = os.path.join(tempfile.gettempdir(), "etx_bench_cloud_v1.vol")
+  if not os.path.isfile(path):
+    rs = np.random.RandomState(7)
+    g = rs.uniform(0.0, 1.0, (24, 24, 24)).astype(np.float32)
+    # smooth + spherical falloff = cloud-ish
+    z, y, x = np.mgrid[0:24, 0:24, 0:24].astype(np.float32) / 23.0 - 0.5
+    g *= np.clip(1.0 - 2.2 * np.sqrt(x * x + y * y + z * z), 0.0, 1.0)
+    with open(path, "wb") as f:
+      f.write(b"VOL")
+      f.write(bytes([3]))                                  # version
+      f.write(struct.pack("<iiiii", 1, 24, 24, 24, 1))     # enc, res, ch
+      f.write(struct.pack("<6f", -0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
+      f.write(np.ascontiguousarray(g).tobytes())           # z,y,x order
+  return path
+
+
 def volumetric(size=(384, 384)):
-  """Heterogeneous cloud grid + SSS object (config 4)."""
-  rs = np.random.RandomState(7)
-  g = rs.uniform(0.0, 1.0, (24, 24, 24)).astype(np.float32)
-  # smooth + spherical falloff = cloud-ish
-  z, y, x = np.mgrid[0:24, 0:24, 0:24].astype(np.float32) / 23.0 - 0.5
-  g *= np.clip(1.0 - 2.2 * np.sqrt(x * x + y * y + z * z), 0.0, 1.0)
+  """Heterogeneous cloud grid (via the .vol loader) + SSS object (config 4)."""
+  from etx_tracer_tpu.scene.obj_loader import _load_density_grid
+  g = _load_density_grid(_cloud_vol_path())
+  assert g is not None and g.shape == (24, 24, 24)
   b = build_cornell_box(film_size=size, diffuse_only=True, max_path_length=10,
-                        fog_grid=g)
+                        fog_grid=np.asarray(g, np.float32))
   # make the short box SSS
   import dataclasses as dc
   d = b.add_spectrum(sp.SpectralDistribution.rgb_reflectance([0.6, 0.3, 0.1]))

@@ -247,14 +247,12 @@ def fresnel(cos_theta, ext_eta, ext_k, int_eta, int_k, spectral: bool,
     nf = (tf_eta, tf_k)
     wl = tf_wavelengths  # (R, C)
     use_tf = (tf_thickness > 0.0)[..., None] & (jnp.max(jnp.abs(tf_eta), axis=-1, keepdims=True) > 0.0)
-    # the interference stack is the most expensive Fresnel path; skip the
-    # whole subgraph when no lane in this (class-gated) wavefront carries
-    # an active film — e.g. plain conductors in a scene that also has a
-    # Thinfilm material
-    f = jax.lax.cond(
-        jnp.any(use_tf),
-        lambda: jnp.where(
-            use_tf, fresnel_thinfilm(wl, cos_t, ni, nf, nj,
-                                     tf_thickness[..., None]), f),
-        lambda: f)
+    # masked, NOT lax.cond: each cond instance on TPU costs a ~0.3 ms
+    # kernel-launch floor plus operand copies, instantiated at EVERY
+    # Fresnel call site (~20 per materials step = ~6 ms/step measured in
+    # the r04 xplane trace), while the masked interference stack is ~60
+    # fusable VPU flops/lane (<0.1 ms at 262k lanes)
+    f = jnp.where(use_tf,
+                  fresnel_thinfilm(wl, cos_t, ni, nf, nj,
+                                   tf_thickness[..., None]), f)
   return em.saturate(f)

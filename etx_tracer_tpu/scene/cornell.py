@@ -52,12 +52,16 @@ def _box(builder, center, size, rotation_y_deg, material):
 def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
                       diffuse_only=False, max_path_length=1023,
                       with_light=True, fog_scattering=0.0, fog_g=0.0,
-                      fog_grid=None):
+                      fog_grid=None, specular_boxes=False):
   """Stage the Cornell box; returns a SceneBuilder (call .build()).
 
   fog_scattering > 0 fills the scene with a homogeneous medium (the
   cornellbox.mtl `et::medium` fog); fog_grid adds a heterogeneous density
   grid over the box instead.
+
+  specular_boxes: tall box = SMOOTH dielectric (eta 1.52), short box =
+  mirror — the SDS-caustics-bearing correctness scene (flat quads, so the
+  independent NumPy anchor sees identical shading normals).
   """
   from etx_tracer_tpu.core import spectrum as _sp
   from etx_tracer_tpu.scene.builder import MediumDesc
@@ -98,7 +102,20 @@ def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
   m_green = b.add_material(MaterialDesc(name="green", cls=st.MaterialClass.Diffuse,
                                         scattering_spec=green, two_sided=True))
 
-  if diffuse_only:
+  m_short = m_gray
+  if specular_boxes:
+    glass_eta = b.add_spectrum(sp.SpectralDistribution.constant(
+        1.52, sp.SpectralDistribution.CLASS_DIELECTRIC))
+    m_tall = b.add_material(MaterialDesc(
+        name="glassBox", cls=st.MaterialClass.Dielectric,
+        reflectance_spec=white, scattering_spec=white,
+        int_ior_eta=glass_eta,
+        int_ior_cls=sp.SpectralDistribution.CLASS_DIELECTRIC,
+        roughness=(0.0, 0.0)))
+    m_short = b.add_material(MaterialDesc(
+        name="mirrorBox", cls=st.MaterialClass.Mirror,
+        scattering_spec=white, two_sided=True))
+  elif diffuse_only:
     m_tall = m_gray
   else:
     # conductor tall box: silver-like constant complex IOR (cornellbox.mtl)
@@ -131,9 +148,14 @@ def build_cornell_box(film_size=(640, 640), samples=32, spectral=False,
   _quad(b, (-1, 0, 1), (-1, 0, -1), (-1, 2, -1), (-1, 2, 1), m_red)      # left wall (n=+x)
   _quad(b, (1, 0, -1), (1, 0, 1), (1, 2, 1), (1, 2, -1), m_green)        # right wall (n=-x)
 
-  # boxes (canonical Cornell layout scaled to the 2-unit room)
-  _box(b, (0.33, 0.0, 0.37), (0.6, 0.6, 0.6), -17.0, m_gray)    # short box
-  _box(b, (-0.33, 0.0, -0.29), (0.6, 1.2, 0.6), 17.0, m_tall)   # tall box
+  # boxes (canonical Cornell layout scaled to the 2-unit room). In the
+  # specular variant the boxes FLOAT 0.05 above the floor: their bottom
+  # faces are otherwise exactly coplanar with the floor quad, and
+  # tie-breaking between intersectors becomes visible through glass
+  # (measured ~1% of the anchor comparison).
+  dy = 0.05 if specular_boxes else 0.0
+  _box(b, (0.33, dy, 0.37), (0.6, 0.6, 0.6), -17.0, m_short)    # short box
+  _box(b, (-0.33, dy, -0.29), (0.6, 1.2, 0.6), 17.0, m_tall)    # tall box
 
   # ceiling light: small quad just below the ceiling, facing down (n=-y)
   h = 2.0 - 1e-3

@@ -5,24 +5,46 @@ Line 1 (headline, parsed by the driver): Cornell-box PT trace+shade
 throughput in Mrays/s/chip, vs_baseline = value / 100 Mrays/s (the
 BASELINE.md north-star target). Subsequent lines cover the remaining
 baseline configs (materials/atmosphere spectral PT, volumetric BDPT,
-caustics VCM, bigscene) so every pillar gets a recorded number
-(VERDICT round-1 item 4).
+caustics VCM, bigscene, and the VCM-vs-PT correctness gate) so every
+pillar gets a recorded number.
+
+Budgeting: this host has ONE CPU core, so cold XLA compiles are the
+dominant cost (the round-4 run timed out mid-compile with 2 of 9 metrics
+emitted). Three defenses:
+  1. The persistent compilation cache lives INSIDE the repo (.jaxcache/)
+     and is committed, so the driver's run starts warm (~seconds per
+     executable instead of minutes).
+  2. Benches run cheapest-compile-first and each is wrapped in a
+     wall-clock guard (ETX_BENCH_BUDGET_S, default 3300 s): when the
+     remaining budget can't cover a bench's worst-case cold cost, an
+     explicit {"metric": ..., "skipped": "budget"} line is emitted
+     instead of dying silently.
+  3. The VCM correctness gate runs as jit-chunked lax.fori_loop blocks
+     (vcm.render_chunk) — hundreds of iterations per device dispatch —
+     and sizes its iteration count to the remaining budget.
 
 Runs on whatever accelerator jax picks (one TPU chip under the driver).
 """
 
 import json
+import os
 import time
 
 import jax
 import numpy as np
 
-# Persistent compilation cache: the big pool-render graphs take minutes to
-# compile on this single-core host; cached executables make repeat bench
-# runs (and the driver's end-of-round run after an interactive session)
-# start in seconds instead.
-jax.config.update("jax_compilation_cache_dir", "/tmp/etx_jaxcache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE = os.path.join(_REPO, ".jaxcache")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+_T0 = time.time()
+_BUDGET = float(os.environ.get("ETX_BENCH_BUDGET_S", "3300"))
+
+
+def _left():
+  return _BUDGET - (time.time() - _T0)
 
 
 def _emit(metric, value, unit, vs_baseline):
@@ -34,48 +56,14 @@ def _emit(metric, value, unit, vs_baseline):
   }), flush=True)
 
 
+def _skip(metrics, reason):
+  for m in metrics:
+    print(json.dumps({"metric": m, "skipped": reason}), flush=True)
+
+
 def bench_cornell_pt():
-  from etx_tracer_tpu.models import path_tracing
-  from etx_tracer_tpu.scene import cornell
-
-  size = 512
-  b = cornell.build_cornell_box(film_size=(size, size), diffuse_only=True,
-                                max_path_length=1023)
-  scene, config = b.build()
-
-  iters = 16
-  # warmup/compile (pooled wavefront renderer with lane regeneration);
-  # first_iteration is traced, so timed calls reuse the executable.
-  # pool 2^18 = one lane per pixel: measured best on v5e (127.6 vs 123.3
-  # at 2^17 / 101.0 at 2^19 — wider pools lose to film-row bandwidth)
-  pool = 1 << 18
-  sums, rays = path_tracing.render_samples_compiled(scene, config, 0, iters,
-                                                    pool)
-  jax.block_until_ready(sums.table)
-
-  # Under tunneled backends block_until_ready may not force completion;
-  # a host transfer (float()) inside the timed region does.
-  reps = 3
-  float(rays)
-  t0 = time.time()
-  total_rays = 0.0
-  for rep in range(1, 1 + reps):
-    sums, rays = path_tracing.render_samples_compiled(scene, config, rep,
-                                                      iters, pool)
-    total_rays += float(rays)  # forces execution + transfer
-  dt = time.time() - t0
-
-  mrays = total_rays / dt / 1e6
-  img = np.asarray(path_tracing.finalize_film(sums, iters).camera)
-  assert np.isfinite(img).all(), "benchmark render produced non-finite values"
-  _emit("cornell_pt_trace_shade_throughput", mrays, "Mrays/s/chip",
-        mrays / 100.0)
-
-
-def bench_time_to_1024spp():
-  """BASELINE.md headline: time-to-1024spp, Cornell 512x512 (real render,
-  not extrapolated). vs_baseline = (time the 100 Mrays/s north star would
-  need for the same ray count) / measured time, so >1 beats the target."""
+  """Headline + time-to-1024spp from ONE compiled executable: the 64-iter
+  chunk signature serves both metrics."""
   from etx_tracer_tpu.models import path_tracing
   from etx_tracer_tpu.scene import cornell
 
@@ -85,30 +73,51 @@ def bench_time_to_1024spp():
   scene, config = b.build()
 
   chunk = 64  # iterations per jitted call (static arg; reuses executable)
+  # pool 2^18 = one lane per pixel: measured best on v5e (127.6 vs 123.3
+  # at 2^17 / 101.0 at 2^19 — wider pools lose to film-row bandwidth)
   pool = 1 << 18
-  # compile
   sums, rays = path_tracing.render_samples_compiled(scene, config, 0, chunk,
                                                     pool)
   jax.block_until_ready(sums.table)
 
-  total_rays = 0.0
+  # Throughput: time chunks 1..2 (the compile call above warms them).
+  # Under tunneled backends block_until_ready may not force completion;
+  # a host transfer (float()) inside the timed region does.
+  float(rays)
   t0 = time.time()
-  acc = None
-  for start in range(0, 1024, chunk):
-    s, rays = path_tracing.render_samples_compiled(scene, config, start,
-                                                   chunk, pool)
-    acc = s.table if acc is None else acc + s.table  # FilmSums is additive
-    total_rays += float(rays)  # forces completion per chunk
+  total_rays = 0.0
+  acc = sums.table
+  for start in (chunk, 2 * chunk):
+    s, r = path_tracing.render_samples_compiled(scene, config, start, chunk,
+                                                pool)
+    acc = acc + s.table  # FilmSums is additive
+    total_rays += float(r)
   dt = time.time() - t0
-  sums = path_tracing.FilmSums(table=acc)
+  mrays = total_rays / dt / 1e6
+  _emit("cornell_pt_trace_shade_throughput", mrays, "Mrays/s/chip",
+        mrays / 100.0)
 
-  img = np.asarray(path_tracing.finalize_film(sums, 1024).camera)
-  assert np.isfinite(img).all()
-  target_time = total_rays / 100e6
-  _emit("cornell512_time_to_1024spp", dt, "s", target_time / dt)
+  # time-to-1024spp (real render, not extrapolated): first 3 chunks above
+  # count toward the 1024, so render the remaining 13 and charge the
+  # measured per-chunk time for the 3 already done.
+  per_chunk = dt / 2.0
+  total_rays2 = float(rays) + total_rays
+  t1 = time.time()
+  for start in range(3 * chunk, 1024, chunk):
+    s, r = path_tracing.render_samples_compiled(scene, config, start, chunk,
+                                                pool)
+    acc = acc + s.table
+    total_rays2 += float(r)
+  dt_all = (time.time() - t1) + 3.0 * per_chunk
+
+  img = np.asarray(path_tracing.finalize_film(
+      path_tracing.FilmSums(acc), 1024).camera)
+  assert np.isfinite(img).all(), "benchmark render produced non-finite values"
+  target_time = total_rays2 / 100e6
+  _emit("cornell512_time_to_1024spp", dt_all, "s", target_time / dt_all)
 
 
-def _pt_mrays(builder, iters=4, reps=2, pool=1 << 18):
+def _pt_mrays(builder, iters=8, reps=2, pool=1 << 18):
   from etx_tracer_tpu.models import path_tracing
   scene, config = builder.build()
   sums, rays = path_tracing.render_samples_compiled(scene, config, 0, iters,
@@ -129,10 +138,9 @@ def _pt_mrays(builder, iters=4, reps=2, pool=1 << 18):
 
 def bench_materials():
   """Config 2: conductor/dielectric/thinfilm showcase, spectral, 512²
-  (film size per BASELINE.md; 256² gave every pool lane only 2 samples, so
-  the measurement was dominated by the Russian-roulette tail)."""
+  (film size per BASELINE.md)."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.materials((512, 512)), iters=8)
+  mrays = _pt_mrays(scenes.materials((512, 512)))
   _emit("materials_spectral_pt_throughput", mrays, "Mrays/s/chip",
         mrays / 100.0)
 
@@ -140,51 +148,62 @@ def bench_materials():
 def bench_atmosphere():
   """Config 3: atmosphere sun/sky + DOF, spectral, 512² (BASELINE.md)."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.atmosphere_scene((512, 512)), iters=8)
+  mrays = _pt_mrays(scenes.atmosphere_scene((512, 512)))
   _emit("atmosphere_spectral_pt_throughput", mrays, "Mrays/s/chip",
         mrays / 100.0)
-
-
-def _vcm_step_seconds(builder, options, reps=3):
-  from etx_tracer_tpu.models import vcm
-  from etx_tracer_tpu.render import film as film_mod
-  scene, config = builder.build()
-  fs = film_mod.allocate(config.film_width, config.film_height)
-  fs = vcm.render_iteration(scene, config, options, fs, 0)  # compile
-  jax.block_until_ready(fs.camera)
-  t0 = time.time()
-  for i in range(1, 1 + reps):
-    fs = vcm.render_iteration(scene, config, options, fs, i)
-    float(np.asarray(fs.iteration))  # host transfer forces completion
-  dt = (time.time() - t0) / reps
-  img = np.asarray(film_mod.result_image(fs))
-  assert np.isfinite(img).all()
-  return dt
-
-
-def bench_volumetric():
-  """Config 4: homogeneous fog BDPT (volumetric bidirectional)."""
-  from benchmarks import scenes
-  from etx_tracer_tpu.models import vcm
-  dt = _vcm_step_seconds(scenes.volumetric((256, 256)), vcm.bdpt_options())
-  # vs_baseline: speedup over the round-1 recorded ~0.3 s VCM camera step
-  # at 16k lanes (PARITY.md) scaled to this lane count (65k lanes -> 1.2 s)
-  _emit("volumetric_bdpt_step_time", dt, "s/iteration", 1.2 / max(dt, 1e-9))
-
-
-def bench_caustics():
-  """Config 5: SDS caustics, full VCM connect+merge, spectral."""
-  from benchmarks import scenes
-  from etx_tracer_tpu.models import vcm
-  dt = _vcm_step_seconds(scenes.caustics((256, 256)), vcm.VCMOptions())
-  _emit("caustics_vcm_step_time", dt, "s/iteration", 1.2 / max(dt, 1e-9))
 
 
 def bench_bigscene():
   """15k-triangle scene through the fat-node Pallas BVH kernels, 512²."""
   from benchmarks import scenes
-  mrays = _pt_mrays(scenes.bigscene((512, 512)), iters=8)
+  mrays = _pt_mrays(scenes.bigscene((512, 512)))
   _emit("bigscene_pt_throughput", mrays, "Mrays/s/chip", mrays / 100.0)
+
+
+def _vcm_chunk_stats(builder, options, n_iters=3):
+  """(step_seconds, rays_per_iteration) via ONE compiled chunk executable."""
+  from etx_tracer_tpu.models import vcm
+  from etx_tracer_tpu.render import film as film_mod
+  scene, config = builder.build()
+  fs0 = film_mod.allocate(config.film_width, config.film_height)
+  fs, rays = vcm.render_chunk_stats(scene, config, options, fs0, 0, n_iters)
+  jax.block_until_ready(fs.camera)  # compile + warm
+  t0 = time.time()
+  fs, rays = vcm.render_chunk_stats(scene, config, options, fs0, n_iters,
+                                    n_iters)
+  rays_total = float(rays)  # host transfer forces completion
+  dt = (time.time() - t0) / n_iters
+  img = np.asarray(film_mod.result_image(fs))
+  assert np.isfinite(img).all()
+  return dt, rays_total / n_iters
+
+
+def bench_volumetric():
+  """Config 4: heterogeneous cloud (through the .vol loader) BDPT.
+  vs_baseline anchors to the 100 Mrays/s north star via measured rays."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import vcm
+  dt, rays_it = _vcm_chunk_stats(scenes.volumetric((256, 256)),
+                                 vcm.bdpt_options())
+  _emit("volumetric_bdpt_step_time", dt, "s/iteration",
+        (rays_it / 100e6) / max(dt, 1e-9))
+
+
+def bench_caustics():
+  """Config 5: SDS caustics, full VCM connect+merge, spectral.
+  BASELINE.md specifies 1024spp: report time-to-1024spp as 1024 x the
+  measured per-iteration time (equal-work protocol — every iteration is
+  one full light+camera spp with identical cost), anchored to the north
+  star by measured rays/iteration."""
+  from benchmarks import scenes
+  from etx_tracer_tpu.models import vcm
+  dt, rays_it = _vcm_chunk_stats(scenes.caustics((256, 256)),
+                                 vcm.VCMOptions())
+  _emit("caustics_vcm_step_time", dt, "s/iteration",
+        (rays_it / 100e6) / max(dt, 1e-9))
+  t1024 = 1024.0 * dt
+  target = 1024.0 * rays_it / 100e6
+  _emit("caustics_vcm_time_to_1024spp", t1024, "s", target / max(t1024, 1e-9))
 
 
 def bench_vcm_correctness():
@@ -193,7 +212,10 @@ def bench_vcm_correctness():
   Per-pixel RMSE at finite spp carries an MC noise floor ~C/sqrt(N); the
   1e-3 gate targets estimator BIAS, so alongside the raw per-pixel RMSE we
   emit the 8x8 box-downsampled RMSE (noise averages down 8x, bias does
-  not). vs_baseline = 1e-3 / value (>1 = gate met)."""
+  not). vs_baseline = 1e-3 / value (>1 = gate met).
+
+  VCM runs as fori_loop chunks (one dispatch per 128 iterations); the
+  chunk count adapts to the remaining wall-clock budget, floor 768."""
   from etx_tracer_tpu.models import path_tracing, vcm
   from etx_tracer_tpu.render import film as film_mod
   from etx_tracer_tpu.scene import cornell
@@ -202,19 +224,28 @@ def bench_vcm_correctness():
                                 max_path_length=8)
   scene, config = b.build()
 
-  # 192 iters measured boxed-RMSE 0.0024 with a predicted noise floor
-  # sigma/8 = 0.0021 — still noise-dominated, not bias; 768 puts the floor
-  # near the 1e-3 gate
-  n_vcm = 768
-  fs = film_mod.allocate(config.film_width, config.film_height)
   options = vcm.VCMOptions()
-  for i in range(n_vcm):
-    fs = vcm.render_iteration(scene, config, options, fs, i)
+  chunk = 128
+  fs = film_mod.allocate(config.film_width, config.film_height)
+  t0 = time.time()
+  fs = vcm.render_chunk(scene, config, options, fs, 0, chunk)
+  jax.block_until_ready(fs.camera)
+  t_chunk = max(time.time() - t0, 1e-3)  # includes compile; later are cheaper
+  done = chunk
+  # up to 4096 iterations if the budget allows (reserve 120 s for the PT
+  # side + metric math)
+  while done < 4096 and _left() - 120.0 > t_chunk:
+    t0 = time.time()
+    fs = vcm.render_chunk(scene, config, options, fs, done, chunk)
+    jax.block_until_ready(fs.camera)
+    t_chunk = max(time.time() - t0, 1e-3)
+    done += chunk
   img_vcm = np.asarray(film_mod.result_image(fs))
 
-  sums, _ = path_tracing.render_samples_compiled(scene, config, 0, 2048,
+  spp_pt = 4096
+  sums, _ = path_tracing.render_samples_compiled(scene, config, 0, spp_pt,
                                                  pool_size=1 << 16)
-  img_pt = np.asarray(path_tracing.finalize_film(sums, 2048,
+  img_pt = np.asarray(path_tracing.finalize_film(sums, spp_pt,
                                                  config.film_width).camera)
 
   diff = img_vcm - img_pt
@@ -223,15 +254,28 @@ def bench_vcm_correctness():
   ds = img_vcm.reshape(h // 8, 8, w // 8, 8, 3).mean((1, 3)) \
       - img_pt.reshape(h // 8, 8, w // 8, 8, 3).mean((1, 3))
   rmse_ds = float(np.sqrt(np.mean(ds ** 2)))
+  print(json.dumps({"metric": "vcm_gate_iterations", "value": done,
+                    "unit": "spp"}), flush=True)
   _emit("vcm_vs_pt_rmse", rmse, "RMSE", 1e-3 / max(rmse, 1e-12))
   _emit("vcm_vs_pt_rmse_8x8box", rmse_ds, "RMSE", 1e-3 / max(rmse_ds, 1e-12))
 
 
 def main():
   bench_cornell_pt()  # headline first (driver parses line 1)
-  for fn in (bench_time_to_1024spp, bench_vcm_correctness,
-             bench_materials, bench_atmosphere, bench_volumetric,
-             bench_caustics, bench_bigscene):
+  # (bench, worst-case cold cost estimate s, metric names for skip lines)
+  plan = [
+      (bench_materials, 300, ["materials_spectral_pt_throughput"]),
+      (bench_atmosphere, 300, ["atmosphere_spectral_pt_throughput"]),
+      (bench_bigscene, 240, ["bigscene_pt_throughput"]),
+      (bench_volumetric, 420, ["volumetric_bdpt_step_time"]),
+      (bench_caustics, 420, ["caustics_vcm_step_time",
+                             "caustics_vcm_time_to_1024spp"]),
+      (bench_vcm_correctness, 480, ["vcm_vs_pt_rmse", "vcm_vs_pt_rmse_8x8box"]),
+  ]
+  for fn, est, names in plan:
+    if _left() < est:
+      _skip(names, "budget")
+      continue
     try:
       fn()
     except Exception as e:  # keep the remaining configs running

@@ -128,21 +128,36 @@ def _cloud_vol_path():
   not an in-memory array."""
   import os
   import struct
-  import tempfile
 
-  path = os.path.join(tempfile.gettempdir(), "etx_bench_cloud_v1.vol")
-  if not os.path.isfile(path):
+  from etx_tracer_tpu.scene.obj_loader import _load_density_grid
+
+  def _expected_grid():
     rs = np.random.RandomState(7)
     g = rs.uniform(0.0, 1.0, (24, 24, 24)).astype(np.float32)
     # smooth + spherical falloff = cloud-ish
     z, y, x = np.mgrid[0:24, 0:24, 0:24].astype(np.float32) / 23.0 - 0.5
     g *= np.clip(1.0 - 2.2 * np.sqrt(x * x + y * y + z * z), 0.0, 1.0)
-    with open(path, "wb") as f:
-      f.write(b"VOL")
-      f.write(bytes([3]))                                  # version
-      f.write(struct.pack("<iiiii", 1, 24, 24, 24, 1))     # enc, res, ch
-      f.write(struct.pack("<6f", -0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
-      f.write(np.ascontiguousarray(g).tobytes())           # z,y,x order
+    return g
+
+  # per-user cache dir (NOT the shared system tempdir, where a predictable
+  # path could collide with or be pre-created by another user)
+  cache_dir = os.path.join(
+      os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+      "etx_tracer_tpu")
+  os.makedirs(cache_dir, exist_ok=True)
+  path = os.path.join(cache_dir, "etx_bench_cloud_v1.vol")
+  if os.path.isfile(path):
+    g = _load_density_grid(path)
+    if g is not None and g.shape == (24, 24, 24) \
+        and np.allclose(np.asarray(g), _expected_grid(), atol=1e-6):
+      return path
+  g = _expected_grid()
+  with open(path, "wb") as f:
+    f.write(b"VOL")
+    f.write(bytes([3]))                                  # version
+    f.write(struct.pack("<iiiii", 1, 24, 24, 24, 1))     # enc, res, ch
+    f.write(struct.pack("<6f", -0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
+    f.write(np.ascontiguousarray(g).tobytes())           # z,y,x order
   return path
 
 

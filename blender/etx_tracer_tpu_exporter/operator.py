@@ -125,7 +125,12 @@ def _material_props(mat):
       props["cls"] = "diffuse"
     elif node.type == "BSDF_METALLIC":
       props["cls"] = "conductor"
-      props["ior_name"] = _METAL_IOR_NAMES.get(mat.name.lower(), "Ag")
+      props["ior_name"] = "Ag"
+      lname = mat.name.lower()
+      for hint, db_name in _METAL_IOR_NAMES.items():
+        if hint in lname:
+          props["ior_name"] = db_name
+          break
   return props
 
 
@@ -228,15 +233,25 @@ class ExportEtxTracerTPU(bpy.types.Operator, ExportHelper):
     materials = {}
     mediums = []
     used_medium_ids = set()
+    # a material shared by N objects must emit exactly ONE medium block
+    # (and point every instance's int_medium at it), so cache per material
+    medium_by_material = {}
     for obj in context.scene.objects:
       if obj.type != "MESH" or obj.hide_render:
         continue
       m = _collect_mesh(obj, depsgraph)
       meshes.append(m)
-      props = _material_props(obj.active_material)
-      med, mid = _extract_medium(obj.active_material, used_medium_ids)
-      if med is not None:
-        mediums.append(med)
+      mat = obj.active_material
+      props = _material_props(mat)
+      mat_key = mat.name if mat is not None else None
+      if mat_key in medium_by_material:
+        mid = medium_by_material[mat_key]
+      else:
+        med, mid = _extract_medium(mat, used_medium_ids)
+        if med is not None:
+          mediums.append(med)
+        medium_by_material[mat_key] = mid
+      if mid is not None:
         props["int_medium"] = mid
       materials[m["material"]] = props
 

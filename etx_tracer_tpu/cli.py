@@ -61,7 +61,16 @@ def _render_image(scene, config, args):
         "bdpt-fast": vcm.bdpt_fast_options(),
         "lt": vcm.light_tracing_options(),
     }[kind]
-    if args.adaptive:
+    adaptive = args.adaptive
+    if adaptive and kind == "lt":
+      # light tracing fills only the light layer; the adaptive stop tests
+      # camera-layer variance, which is identically zero for lt and would
+      # silently end the render at min_samples regardless of --spp
+      print("[etx-tpu] --adaptive is camera-layer based and does not apply "
+            "to the lt integrator; rendering all requested samples",
+            file=sys.stderr)
+      adaptive = False
+    if adaptive:
       fs, _counts = vcm.render_adaptive(scene, config, options=options,
                                         max_iterations=spp)
     else:
@@ -186,7 +195,8 @@ def main(argv=None):
                   choices=["pt", "bdpt", "bdpt-fast", "vcm", "lt", "debug"])
   pr.add_argument("--aov", default="normals")
   pr.add_argument("--adaptive", action="store_true",
-                  help="adaptive per-pixel sampling (pt/vcm/bdpt/lt)")
+                  help="adaptive per-pixel sampling (pt/vcm/bdpt; "
+                       "ignored for lt, whose camera layer is empty)")
   pr.add_argument("--devices", type=int, default=None,
                   help="shard over N devices (pt only)")
   pr.add_argument("--reference", default=None)

@@ -109,6 +109,7 @@ class VCMState(NamedTuple):
   alive: jnp.ndarray
   delta_emitter: jnp.ndarray  # light paths only
   local_emitter: jnp.ndarray
+  rays_traced: jnp.ndarray   # () float32 — closest + occlusion rays launched
 
 
 class LightVertices(NamedTuple):
@@ -202,7 +203,8 @@ def _generate_light_state(scene, config, n_paths, iteration, vc_weight,
       path_depth=jnp.zeros(r, jnp.int32),
       path_distance=jnp.zeros(r),
       rng_state=state, wl=wl, alive=valid,
-      delta_emitter=es.is_delta, local_emitter=~es.is_distant)
+      delta_emitter=es.is_delta, local_emitter=~es.is_distant,
+      rays_traced=jnp.zeros((), jnp.float32))
 
 
 def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
@@ -259,6 +261,7 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)
     found = hit.found & state.alive
+    rays_ct = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32))
 
     # medium free-path sampling (vcm_try_sampling_medium, vcm_shared.hxx:379)
     medium_event = jnp.zeros(r, bool)
@@ -381,6 +384,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
       tr_con = None
       occluded = trace_ops.trace_occluded(
           scene, sh_o, w_o, jnp.full(r, em.kRayEpsilon), dist * (1.0 - 1e-3))
+    if options.connect_to_camera:
+      rays_ct = rays_ct + jnp.sum((storable & cam.valid).astype(jnp.float32))
     dist2 = jnp.maximum(em.dot(cam.position - conn_pos, cam.position - conn_pos), 1e-12)
     # pdf_dir_out of the camera (scene_camera.hxx:112); cam.weight encodes
     # importance/pdf (scene_camera.hxx:108-116)
@@ -496,7 +501,8 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
         path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
-                        jnp.where(is_boundary, state.alive, surf_alive)))
+                        jnp.where(is_boundary, state.alive, surf_alive)),
+        rays_traced=rays_ct)
     if config.validate:
       from etx_tracer_tpu.utils import validate as val
       amask = state.alive[..., None]
@@ -869,7 +875,7 @@ def merge_gather(scene, grid: MergeGrid, sd: ShadingData, state: VCMState,
 def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVertices,
                 grid, radius, vc_weight, vm_weight, vm_normalization,
                 pixel_offset=0, full_height: int | None = None,
-                active_mask=None):
+                active_mask=None, return_rays: bool = False):
   """Camera subpaths with direct hit / NEE / vertex connections / merging
   (vcm_camera_step, vcm_shared.hxx:927-1079).
 
@@ -921,7 +927,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       path_depth=jnp.ones(r, jnp.int32), path_distance=jnp.zeros(r),
       rng_state=rng_state, wl=wl,
       alive=jnp.ones(r, bool) if active_mask is None else active_mask,
-      delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool))
+      delta_emitter=jnp.zeros(r, bool), local_emitter=jnp.zeros(r, bool),
+      rays_traced=jnp.zeros((), jnp.float32))
 
   merged_total = jnp.zeros((r, 3))
   # the camera walk runs to the FULL path length budget — not capped by
@@ -948,6 +955,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     hit = trace_ops.trace_closest(scene, state.ray_o, state.ray_d,
                                   jnp.full(r, em.kRayEpsilon), t_max)
     found = hit.found & state.alive
+    rays_ct = state.rays_traced + jnp.sum(state.alive.astype(jnp.float32))
     rng_state = state.rng_state
 
     # medium free-path sampling (vcm_camera_step :933-996)
@@ -1120,6 +1128,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
       if config.has_media:
         contrib = contrib * tr_nee
       gathered = gathered + jnp.where(ok[..., None], state.throughput * contrib, 0.0)
+      rays_ct = rays_ct + jnp.sum(nee_lane.astype(jnp.float32))
 
     # The connection/merge loops below evaluate the camera-vertex BSDF once
     # per stored vertex / per scanned photon. Lanes that cannot contribute
@@ -1138,7 +1147,7 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     # copies (the MS-walk evals inside would otherwise explode compile time)
     if options.connect_vertices:
       def connect_one(vi, carry):
-        gathered, rng_state = carry
+        gathered, rng_state, rays_in = carry
         take = lambda a: jax.lax.dynamic_index_in_dim(a, vi, axis=1, keepdims=False)
         lv_pos = take(verts.pos)
         lv_nrm = take(verts.nrm)
@@ -1229,13 +1238,15 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         if config.has_media:
           contrib = contrib * tr_vc
         gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
-        return gathered, rng_state
+        rays_in = rays_in + jnp.sum((conn_lane & lv_valid).astype(jnp.float32))
+        return gathered, rng_state, rays_in
 
-      def connect_batched(gathered_in):
+      def connect_batched(carry_in):
         """All V connections in ONE batched eval + ONE occlusion launch
         (no-media only): the per-slot fori serialized V trace launches
         with their fixed dispatch overheads. Flattening keeps slot-major
         order lane*V+v (reshape of (R,V,...))."""
+        gathered_in, rays_in = carry_in
         V = options.max_stored_vertices
         rV = r * V
 
@@ -1310,7 +1321,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         contrib = (cb_val * rp(state.throughput)) * (lb_val * lv_thr) \
             * (weight * fix / dist2)[..., None]
         contrib = jnp.where(ok[..., None], contrib, 0.0)
-        return gathered_in + contrib.reshape(r, V, -1).sum(axis=1)
+        rays_in = rays_in + jnp.sum((rp(upd) & lv_valid).astype(jnp.float32))
+        return (gathered_in + contrib.reshape(r, V, -1).sum(axis=1), rays_in)
 
       def run_connections(carry):
         return jax.lax.fori_loop(
@@ -1320,13 +1332,15 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         # media connections advance per-lane RNG (ratio-tracking
         # transmittance), so skipping would shift streams — always run;
         # the fori keeps transmittance walks per slot
-        gathered, rng_state = run_connections((gathered, rng_state))
+        gathered, rng_state, rays_ct = run_connections(
+            (gathered, rng_state, rays_ct))
       else:
         # deep-tail skip: no RNG is drawn in surface-only connections, so
         # the cond is stream-neutral; once every lane is delta/dead the
         # batched eval + trace collapse to one any-reduce
-        gathered = jax.lax.cond(
-            jnp.any(participates), connect_batched, lambda g: g, gathered)
+        gathered, rays_ct = jax.lax.cond(
+            jnp.any(participates), connect_batched, lambda g: g,
+            (gathered, rays_ct))
 
     # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:
@@ -1415,7 +1429,8 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         path_distance=jnp.where(is_boundary, state.path_distance + hit.t, state.path_distance),
         rng_state=rng_state,
         alive=jnp.where(me, (med_alive if config.has_media else state.alive),
-                        jnp.where(is_boundary, state.alive, surf_alive)))
+                        jnp.where(is_boundary, state.alive, surf_alive)),
+        rays_traced=rays_ct)
     if config.validate:
       from etx_tracer_tpu.utils import validate as val
       amask = state.alive[..., None]
@@ -1469,7 +1484,10 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
     orig = orig[sel]
 
   gathered_rgb = spx.to_film_rgb(out_gathered, wl0, spectral)
-  return gathered_rgb + out_merged * vm_normalization
+  result = gathered_rgb + out_merged * vm_normalization
+  if return_rays:
+    return result, state.rays_traced
+  return result
 
 
 def radius_schedule(scene, config, options: VCMOptions, iteration):
@@ -1503,9 +1521,8 @@ def render_iteration(scene, config, options: VCMOptions, film_state, iteration):
                                jnp.asarray(iteration, jnp.int32), sched)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "options"))
-def _render_iteration_jit(scene, config, options: VCMOptions, film_state,
-                          iteration, sched):
+def _render_iteration_body(scene, config, options: VCMOptions, film_state,
+                           iteration, sched, with_rays: bool = False):
   w, h = config.film_width, config.film_height
   npix = w * h
   radius, vc_weight, vm_weight, vm_normalization = sched
@@ -1517,8 +1534,13 @@ def _render_iteration_jit(scene, config, options: VCMOptions, film_state,
                           cell_cap=options.max_photons_per_cell) \
       if options.enable_merging else None
 
-  camera_rgb = camera_pass(scene, config, options, iteration, verts, grid,
-                           radius, vc_weight, vm_weight, vm_normalization)
+  camera_out = camera_pass(scene, config, options, iteration, verts, grid,
+                           radius, vc_weight, vm_weight, vm_normalization,
+                           return_rays=with_rays)
+  if with_rays:
+    camera_rgb, cam_rays = camera_out
+  else:
+    camera_rgb = camera_out
 
   # fold this iteration's light-tracing splat image
   film_state = film_state._replace(
@@ -1526,7 +1548,55 @@ def _render_iteration_jit(scene, config, options: VCMOptions, film_state,
   film_state = film_mod.commit_light_iteration(film_state)
   colors = camera_rgb.reshape(h, w, 3)
   zero = jnp.zeros((h, w, 3))
-  return film_mod.accumulate_camera(film_state, colors, zero, zero)
+  film_state = film_mod.accumulate_camera(film_state, colors, zero, zero)
+  if with_rays:
+    return film_state, l_state.rays_traced + cam_rays
+  return film_state
+
+
+@functools.partial(jax.jit, static_argnames=("config", "options"))
+def _render_iteration_jit(scene, config, options: VCMOptions, film_state,
+                          iteration, sched):
+  return _render_iteration_body(scene, config, options, film_state,
+                                iteration, sched)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "options", "num_iterations"))
+def render_chunk(scene, config, options: VCMOptions, film_state,
+                 first_iteration, num_iterations: int):
+  """`num_iterations` full VCM iterations fused into ONE device execution.
+
+  A lax.fori_loop over the per-iteration body: one compile + one dispatch
+  per chunk instead of one of each per iteration, which is what makes
+  high-spp correctness gates (bench.py) affordable. The radius schedule is
+  computed traced here (same jnp ops as the eager radius_schedule, so the
+  values match up to fusion rounding); use render_iteration when bitwise
+  parity with the sharded path matters.
+  """
+  def body(k, fs):
+    it = first_iteration + k
+    sched = radius_schedule(scene, config, options, it)
+    return _render_iteration_body(scene, config, options, fs, it, sched)
+  return jax.lax.fori_loop(0, num_iterations, body, film_state)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("config", "options", "num_iterations"))
+def render_chunk_stats(scene, config, options: VCMOptions, film_state,
+                       first_iteration, num_iterations: int):
+  """render_chunk + total rays traced (closest + occlusion launches across
+  light and camera passes) — the Mrays/s denominator for VCM/BDPT
+  benchmarks. Returns (film_state, rays_traced)."""
+  def body(k, carry):
+    fs, rays = carry
+    it = first_iteration + k
+    sched = radius_schedule(scene, config, options, it)
+    fs, r_it = _render_iteration_body(scene, config, options, fs, it, sched,
+                                      with_rays=True)
+    return fs, rays + r_it
+  return jax.lax.fori_loop(0, num_iterations, body,
+                           (film_state, jnp.zeros((), jnp.float32)))
 
 
 def render(scene, config, options: VCMOptions | None = None, iterations: int | None = None):

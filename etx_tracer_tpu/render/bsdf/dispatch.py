@@ -71,14 +71,8 @@ _WALK_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric})
 # conductor backend every other lobe is flat fusable VPU math, and a cond
 # costs a ~0.3 ms launch floor + operand copies per instance (r04 xplane
 # trace: conds+copies were ~15 ms of the 42 ms materials step).
-_COND_ALL = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric,
-                       MC.Thinfilm, MC.Principled, MC.Velvet})
-_COND_WALK_ONLY = frozenset({MC.Plastic, MC.Dielectric, MC.Principled})
-COND_MODE = "all"  # "all" | "walk"
-
-
-def _cond_classes():
-  return _COND_ALL if COND_MODE == "all" else _COND_WALK_ONLY
+_COND_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric,
+                           MC.Thinfilm, MC.Principled, MC.Velvet})
 
 
 # --- material-sorted tile dispatch ----------------------------------------
@@ -194,7 +188,7 @@ def _sample_masked(scene, sd: lobes.ShadingData, rnd, spectral: bool,
           lambda c, m: _SAMPLERS[c](scene, sd, rnd, spectral), cls)
     else:  # Void
       continue
-    if len(classes) > 1 and cls in _cond_classes():
+    if len(classes) > 1 and cls in _COND_CLASSES:
       # real control flow: a bounce whose wavefront holds no lanes of this
       # class skips its whole subgraph (classes localize spatially)
       out = jax.lax.cond(jnp.any(cls_mask),
@@ -318,7 +312,7 @@ def _evaluate_masked(scene, sd: lobes.ShadingData, w_o, spectral: bool,
           lambda c, m: _EVALUATORS[c](scene, sd, w_o, spectral), cls)
     else:
       continue
-    if len(classes) > 1 and cls in _cond_classes():
+    if len(classes) > 1 and cls in _COND_CLASSES:
       b, p = jax.lax.cond(jnp.any(cls_mask),
                           lambda fn=fn, m=cls_mask: fn(m), lambda: zeros)
     else:

@@ -197,6 +197,149 @@ def _alpha_iso(alpha):
   return jnp.sqrt(alpha[..., 0] * alpha[..., 1])
 
 
+# ---------------------------------------------------------------------------
+# Dielectric single-scatter albedo E_d(eta, alpha, mu): the escape energy of
+# one VNDF-sampled interface event with real-Fresnel reflect/refract pick
+# (TIR folded into F=1). Drives the multiplicative Turquin-style
+# compensation 1/E_d on the dielectric and plastic transmission-capable hot
+# paths — the reflection-only F=1 table under-estimates dielectric escape
+# (refracted rays shadow less), which over-compensated by ~8% when reused.
+# ---------------------------------------------------------------------------
+
+_N_ETA = 16
+_ETA_MAX = 2.5
+
+
+def _eta_grid():
+  # log-symmetric: entering (eta>1) and exiting (eta<1) crossings
+  return np.exp(np.linspace(-np.log(_ETA_MAX), np.log(_ETA_MAX), _N_ETA))
+
+
+def _fresnel_dielectric_np(cos_i, eta):
+  """Real dielectric Fresnel, unpolarized; eta = far/near. TIR -> 1."""
+  c = np.clip(cos_i, 0.0, 1.0)
+  s2_t = (1.0 - c * c) / np.maximum(eta * eta, 1e-12)
+  ct = np.sqrt(np.maximum(1.0 - s2_t, 0.0))
+  rs = (c - eta * ct) / np.maximum(c + eta * ct, 1e-12)
+  rp = (eta * c - ct) / np.maximum(eta * c + ct, 1e-12)
+  return np.where(s2_t >= 1.0, 1.0, 0.5 * (rs * rs + rp * rp))
+
+
+def _ggx_g1_np(w, m, a):
+  """numpy mirror of common.ggx_g1 (isotropic), incl. the sidedness gate."""
+  xy_a2 = a * a * (w[..., 0] ** 2 + w[..., 1] ** 2)
+  tan2 = xy_a2 / np.maximum(w[..., 2] ** 2, 1e-12)
+  g = 2.0 / (1.0 + np.sqrt(1.0 + tan2))
+  g = np.where(xy_a2 == 0.0, 1.0, g)
+  gate = (w * m).sum(-1) * w[..., 2]
+  return np.where(gate <= 0.0, 0.0, g)
+
+
+def _sample_vndf_np(u1, u2, w_i, a):
+  """numpy mirror of common.sample_vndf (isotropic alpha)."""
+  v = np.stack([a * w_i[..., 0], a * w_i[..., 1], w_i[..., 2]], -1)
+  v = v / np.linalg.norm(v, axis=-1, keepdims=True)
+  len2 = v[..., 0] ** 2 + v[..., 1] ** 2
+  t1 = np.where(len2[..., None] > 0,
+                np.stack([-v[..., 1], v[..., 0], np.zeros_like(len2)], -1)
+                / np.sqrt(np.maximum(len2, 1e-20))[..., None],
+                np.broadcast_to([1.0, 0.0, 0.0], v.shape))
+  t2 = np.cross(v, t1)
+  r = np.sqrt(np.maximum(u1, 0.0))
+  phi = 2.0 * np.pi * u2
+  p1 = r * np.cos(phi)
+  p2 = r * np.sin(phi)
+  s = 0.5 * (1.0 + v[..., 2])
+  p2 = (1.0 - s) * np.sqrt(np.maximum(1.0 - p1 ** 2, 0.0)) + s * p2
+  pz = np.sqrt(np.maximum(1.0 - p1 ** 2 - p2 ** 2, 0.0))
+  m = (p1[..., None] * t1 + p2[..., None] * t2 + pz[..., None] * v)
+  m = np.stack([a * m[..., 0], a * m[..., 1],
+                np.maximum(m[..., 2], 1e-6)], -1)
+  return m / np.linalg.norm(m, axis=-1, keepdims=True)
+
+
+@functools.lru_cache(maxsize=1)
+def _dielectric_tables_np():
+  """E_d(eta, alpha, mu): expected single-scatter sample energy of the
+  production dielectric sampler (lobes.dielectric_sample's rough branch),
+  mirrored term for term in numpy — m ~ VNDF, analytic expectation over
+  the Fresnel reflect/refract pick, SEPARABLE Smith (g2/g1 = G1_o with
+  ggx_g1's sidedness gate), branch sign checks included. 1/E_d is then an
+  exact-by-construction multiplicative closure for that sampler."""
+  mus = _mu_grid()
+  alphas = _alpha_grid()
+  etas = _eta_grid()
+
+  n1, n2 = 64, 64
+  u1 = ((np.arange(n1) + 0.5) / n1)[:, None]
+  u2 = ((np.arange(n2) + 0.5) / n2)[None, :]
+  u1 = np.broadcast_to(u1, (n1, n2)).reshape(-1)
+  u2 = np.broadcast_to(u2, (n1, n2)).reshape(-1)
+
+  table = np.empty((_N_ETA, _N_ALPHA, _N_MU), np.float64)
+  for ia, a in enumerate(alphas):
+    for im_, mu_i in enumerate(mus):
+      si = np.sqrt(max(1.0 - mu_i * mu_i, 0.0))
+      w_i = np.broadcast_to(np.array([si, 0.0, mu_i]), (u1.shape[0], 3))
+      m = _sample_vndf_np(u1, u2, w_i, a)
+      idoth = (w_i * m).sum(-1)
+      w_r = 2.0 * idoth[..., None] * m - w_i
+      g1_r = _ggx_g1_np(w_r, m, a) * (w_r[..., 2] > 0.0)
+      for ie, eta in enumerate(etas):
+        f = _fresnel_dielectric_np(idoth, eta)
+        inv_eta = 1.0 / eta
+        s2t = np.maximum(0.0, 1.0 - idoth ** 2) * inv_eta ** 2
+        cos_t = np.sqrt(np.maximum(1.0 - s2t, 0.0))
+        w_t = (-w_i * inv_eta
+               + (inv_eta * idoth - cos_t)[..., None] * m)
+        w_t = w_t / np.maximum(
+            np.linalg.norm(w_t, axis=-1, keepdims=True), 1e-12)
+        w_t_f = w_t * np.array([1.0, 1.0, -1.0])
+        g1_t = _ggx_g1_np(w_t_f, m, a) * (w_t[..., 2] < 0.0) * (s2t < 1.0)
+        table[ie, ia, im_] = (f * g1_r + (1.0 - f) * g1_t).mean()
+  return np.clip(table, 1e-3, 1.0).astype(np.float32)
+
+
+def _eta_coord(eta):
+  le = jnp.log(jnp.clip(eta, 1.0 / _ETA_MAX, _ETA_MAX))
+  lo = -np.log(_ETA_MAX)
+  return (le - lo) / (2.0 * np.log(_ETA_MAX)) * (_N_ETA - 1)
+
+
+def e_dielectric_lookup(mu, alpha_iso, eta):
+  """E_d(eta, alpha, mu): trilinear, gather-free (weighted one-hot rows)."""
+  from etx_tracer_tpu.ops import gather as gather_ops
+  tab = jnp.asarray(_dielectric_tables_np())      # (E, A, M)
+  flat = tab.reshape(_N_ETA * _N_ALPHA, _N_MU)
+  ce = jnp.clip(_eta_coord(eta), 0.0, _N_ETA - 1.0)
+  ca = jnp.clip(_alpha_coord(alpha_iso), 0.0, _N_ALPHA - 1.0)
+  cm = jnp.clip(_mu_coord(mu), 0.0, _N_MU - 1.0)
+  e0 = jnp.floor(ce).astype(jnp.int32)
+  a0 = jnp.floor(ca).astype(jnp.int32)
+  m0 = jnp.floor(cm).astype(jnp.int32)
+  e1 = jnp.minimum(e0 + 1, _N_ETA - 1)
+  a1 = jnp.minimum(a0 + 1, _N_ALPHA - 1)
+  m1 = jnp.minimum(m0 + 1, _N_MU - 1)
+  fe = ce - e0
+  fa = ca - a0
+  fm = cm - m0
+  rows = gather_ops.take_rows_weighted(
+      flat,
+      jnp.stack([e0 * _N_ALPHA + a0, e0 * _N_ALPHA + a1,
+                 e1 * _N_ALPHA + a0, e1 * _N_ALPHA + a1], axis=-1),
+      jnp.stack([(1.0 - fe) * (1.0 - fa), (1.0 - fe) * fa,
+                 fe * (1.0 - fa), fe * fa], axis=-1))     # (R, N_MU)
+  cols = jnp.arange(_N_MU, dtype=jnp.int32)
+  wm = ((m0[:, None] == cols) * (1.0 - fm)[:, None]
+        + (m1[:, None] == cols) * fm[:, None])
+  return jnp.sum(rows * wm, axis=-1)
+
+
+def dielectric_compensation(mu_i, alpha_iso, eta):
+  """Multiplicative MS compensation 1/E_d, clamped to bound the boost."""
+  return 1.0 / jnp.clip(e_dielectric_lookup(mu_i, alpha_iso, eta), 0.25, 1.0)
+
+
 def conductor_eval_lut(fresnel_fn, w_i, w_o, alpha):
   """Energy-compensated conductor eval, cosine folded (replaces
   conductor_eval_walk on the hot path). w_i/w_o local, z>0 expected."""

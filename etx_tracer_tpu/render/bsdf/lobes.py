@@ -512,34 +512,45 @@ def dielectric_sample(scene, sd, rnd, spectral, mask=None):
   ok = jnp.where(pick_reflect, ok_r, ok_t)
   weight = jnp.where(ok[..., None], weight, 0.0)
 
-  # rough lanes: the Heitz MS walk replaces the single-scatter sample
-  # (DielectricBSDF::sample, bsdf_dielectric.hxx:73-147)
-  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+  if MS_BACKEND == "lut":
+    # rough lanes keep the single-scatter VNDF reflect/refract sample above
+    # (its weight g2/g1 IS f_ss/p_true) and gain the lost multiple-scatter
+    # energy through the same 1/E(mu_i) compensation the eval applies —
+    # sample weight and NEE eval stay the SAME scaled BSDF. No walk, no
+    # while_loop on the hot path.
+    from etx_tracer_tpu.render.bsdf import energy_lut
+    a_iso = jnp.sqrt(alpha_c[..., 0] * alpha_c[..., 1])
+    comp = energy_lut.dielectric_compensation(w_i_l[..., 2], a_iso, eta)
+    weight = jnp.where(delta[..., None], weight, weight * comp[..., None])
+  else:
+    # rough lanes: the Heitz MS walk replaces the single-scatter sample
+    # (DielectricBSDF::sample, bsdf_dielectric.hxx:73-147)
+    from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
-  def fres_walk(cos_t, outside):
-    return _fresnel_at(scene, sd, cos_t, spectral,
-                       swap=jnp.logical_xor(ent, outside))
+    def fres_walk(cos_t, outside):
+      return _fresnel_at(scene, sd, cos_t, spectral,
+                         swap=jnp.logical_xor(ent, outside))
 
-  def mono(v):
-    return spx.monochromatic(v, spectral)
+    def mono(v):
+      return spx.monochromatic(v, spectral)
 
-  walk_mask = ~delta if mask is None else mask & ~delta
-  wo_walk, e_walk, out_walk, escaped = ms.dielectric_sample_walk(
-      fres_walk, mono, eta, w_i_l, alpha_c, rnd, active0=walk_mask)
-  refl_walk = out_walk
-  e_mono = mono(e_walk)
-  tint = e_walk / jnp.maximum(e_mono, 1e-9)[..., None]
-  factor_w = em.sqr(1.0 / jnp.maximum(eta, 1e-6))
-  w_walk = tint * jnp.where(refl_walk[..., None], refl, scat * factor_w[..., None])
-  w_walk = jnp.where((escaped & (e_mono > 0.0))[..., None], w_walk, 0.0)
+    walk_mask = ~delta if mask is None else mask & ~delta
+    wo_walk, e_walk, out_walk, escaped = ms.dielectric_sample_walk(
+        fres_walk, mono, eta, w_i_l, alpha_c, rnd, active0=walk_mask)
+    refl_walk = out_walk
+    e_mono = mono(e_walk)
+    tint = e_walk / jnp.maximum(e_mono, 1e-9)[..., None]
+    factor_w = em.sqr(1.0 / jnp.maximum(eta, 1e-6))
+    w_walk = tint * jnp.where(refl_walk[..., None], refl, scat * factor_w[..., None])
+    w_walk = jnp.where((escaped & (e_mono > 0.0))[..., None], w_walk, 0.0)
 
-  use_walk = ~delta
-  pick_reflect = jnp.where(use_walk, refl_walk, pick_reflect)
-  w_o_l = jnp.where(use_walk[..., None], wo_walk, w_o_l)
-  weight = jnp.where(use_walk[..., None], w_walk, weight)
-  ok = jnp.where(use_walk,
-                 escaped & (jnp.abs(wo_walk[..., 2]) > em.kEpsilon), ok)
-  weight = jnp.where(ok[..., None], weight, 0.0)
+    use_walk = ~delta
+    pick_reflect = jnp.where(use_walk, refl_walk, pick_reflect)
+    w_o_l = jnp.where(use_walk[..., None], wo_walk, w_o_l)
+    weight = jnp.where(use_walk[..., None], w_walk, weight)
+    ok = jnp.where(use_walk,
+                   escaped & (jnp.abs(wo_walk[..., 2]) > em.kEpsilon), ok)
+    weight = jnp.where(ok[..., None], weight, 0.0)
 
   pdf_rough = _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral)
   pdf = jnp.where(delta, p_sel, pdf_rough)
@@ -587,27 +598,58 @@ def dielectric_evaluate(scene, sd, w_o, spectral, mask=None):
   refl_alb = _reflectance(scene, sd, spectral)
   scat_alb = _scattering(scene, sd, spectral)
 
-  # stochastic MS eval (eval_dielectric via the walk; DielectricBSDF::evaluate
-  # bsdf_dielectric.hxx:149-196: bsdf-with-cos = 2*walk * image * |cos_o|)
-  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+  if MS_BACKEND == "lut":
+    # Walk-free energy-compensated eval: analytic Walter single-scatter
+    # terms (Walter 2007 eq. 20/21, the deterministic limit of
+    # eval_dielectric's first order, bsdf_dielectric.hxx:149-196) scaled by
+    # the Turquin-style multiplicative compensation 1/E_d(eta, alpha, mu_i)
+    # from the dedicated dielectric albedo table (energy_lut).
+    # Deterministic, loop-free, and lower-variance than the stochastic
+    # walk; reciprocity of the compensation factor is approximate
+    # (documented deviation, bounded by tests/test_energy_lut.py against
+    # the walk).
+    from etx_tracer_tpu.render.bsdf import energy_lut
+    im = cos_im
+    om = em.dot(w_o_l, m)
+    sqrt_denom = im + eta * om
+    # reflection: func = F D G2 / (4 cos_i |cos_o|)
+    f_refl = f * (d * g / jnp.maximum(
+        4.0 * cos_i * jnp.abs(cos_o), 1e-9))[..., None]
+    # transmission: func = |im om| eta^2 (1-F) D G2
+    #               / (cos_i |cos_o| (im + eta om)^2), times the 1/eta^2
+    # radiance transport factor (camera convention, matching the sampler's
+    # `factor`) — the eta^2 pair cancels.
+    f_tran = (1.0 - f) * (jnp.abs(im * om) * d * g / jnp.maximum(
+        cos_i * jnp.abs(cos_o) * em.sqr(sqrt_denom), 1e-9))[..., None]
+    func = jnp.where(reflection[..., None],
+                     refl_alb * f_refl, scat_alb * f_tran)
+    a_iso = jnp.sqrt(alpha_c[..., 0] * alpha_c[..., 1])
+    comp = energy_lut.dielectric_compensation(
+        jnp.maximum(cos_i, 1e-6), a_iso, eta)
+    bsdf = func * (comp * jnp.abs(cos_o))[..., None]
+  else:
+    # stochastic MS eval (eval_dielectric via the walk;
+    # DielectricBSDF::evaluate bsdf_dielectric.hxx:149-196:
+    # bsdf-with-cos = 2*walk * image * |cos_o|)
+    from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
-  def fres_walk(cos_t, outside):
-    return _fresnel_at(scene, sd, cos_t, spectral,
-                       swap=jnp.logical_xor(ent, outside))
+    def fres_walk(cos_t, outside):
+      return _fresnel_at(scene, sd, cos_t, spectral,
+                         swap=jnp.logical_xor(ent, outside))
 
-  def mono(v):
-    return spx.monochromatic(v, spectral)
+    def mono(v):
+      return spx.monochromatic(v, spectral)
 
-  wo_outside = reflection
-  walk_mask = (cos_i > em.kEpsilon) & ~delta
-  if mask is not None:
-    walk_mask = walk_mask & mask
-  value = ms.dielectric_eval_walk(
-      fres_walk, mono, eta, w_i_l, w_o_l, wo_outside, alpha_c,
-      w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
-      active0=walk_mask)
-  func = 2.0 * value * jnp.where(reflection[..., None], refl_alb, scat_alb)
-  bsdf = func * jnp.abs(cos_o)[..., None]  # eval.bsdf = func*|cos| (:193)
+    wo_outside = reflection
+    walk_mask = (cos_i > em.kEpsilon) & ~delta
+    if mask is not None:
+      walk_mask = walk_mask & mask
+    value = ms.dielectric_eval_walk(
+        fres_walk, mono, eta, w_i_l, w_o_l, wo_outside, alpha_c,
+        w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
+        active0=walk_mask)
+    func = 2.0 * value * jnp.where(reflection[..., None], refl_alb, scat_alb)
+    bsdf = func * jnp.abs(cos_o)[..., None]  # eval.bsdf = func*|cos| (:193)
 
   pdf = _dielectric_pdf_ref(scene, sd, w_i_l, w_o_l, ent, eta, alpha_c, spectral)
 
@@ -679,26 +721,41 @@ def plastic_evaluate(scene, sd, w_o, spectral, mask=None):
   diffuse = _scattering(scene, sd, spectral)
   specular = _reflectance(scene, sd, spectral)
 
-  # specular layer = Heitz MS dielectric walk restricted to the reflection
-  # side: specular_func = 2*eval_dielectric(...)*reflectance
-  # (bsdf_plastic.hxx:14-36); the walk value carries the output cosine
-  from etx_tracer_tpu.render.bsdf import multiscatter as ms
+  if MS_BACKEND == "lut":
+    # specular layer via the energy-compensated reflection lobe
+    # (energy_lut.conductor_eval_lut with the material's DIELECTRIC Fresnel
+    # closure): same single-scatter term as the walk's first order plus the
+    # reciprocal Kulla-Conty compensation lobe whose F_ms geometric series
+    # runs on the dielectric F_avg. Walk-free hot path; the walk remains
+    # the anchor under MS_BACKEND="walk".
+    from etx_tracer_tpu.render.bsdf import energy_lut
 
-  def fres_walk(cos_t, outside):
-    return _fresnel_at(scene, sd, cos_t, spectral,
-                       swap=jnp.logical_xor(ent, outside))
+    def fres_refl(cos_t):
+      return _fresnel_at(scene, sd, cos_t, spectral)
 
-  def mono(v):
-    return spx.monochromatic(v, spectral)
+    spec_bsdf = energy_lut.conductor_eval_lut(
+        fres_refl, w_i_l, w_o_l, alpha) * specular
+  else:
+    # specular layer = Heitz MS dielectric walk restricted to the
+    # reflection side: specular_func = 2*eval_dielectric(...)*reflectance
+    # (bsdf_plastic.hxx:14-36); the walk value carries the output cosine
+    from etx_tracer_tpu.render.bsdf import multiscatter as ms
 
-  eta_io = _eta_ratio(scene, sd, spectral)
-  eta = jnp.where(ent, eta_io, 1.0 / jnp.maximum(eta_io, 1e-6))
-  walk_mask = ok if mask is None else ok & mask
-  walk = ms.dielectric_eval_walk(
-      fres_walk, mono, eta, w_i_l, w_o_l, jnp.ones_like(ok),
-      alpha, w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
-      active0=walk_mask)
-  spec_bsdf = 2.0 * walk * specular
+    def fres_walk(cos_t, outside):
+      return _fresnel_at(scene, sd, cos_t, spectral,
+                         swap=jnp.logical_xor(ent, outside))
+
+    def mono(v):
+      return spx.monochromatic(v, spectral)
+
+    eta_io = _eta_ratio(scene, sd, spectral)
+    eta = jnp.where(ent, eta_io, 1.0 / jnp.maximum(eta_io, 1e-6))
+    walk_mask = ok if mask is None else ok & mask
+    walk = ms.dielectric_eval_walk(
+        fres_walk, mono, eta, w_i_l, w_o_l, jnp.ones_like(ok),
+        alpha, w_o[..., 0] + sd.tex[..., 0], w_o[..., 1] + sd.tex[..., 1],
+        active0=walk_mask)
+    spec_bsdf = 2.0 * walk * specular
   diff_bsdf = diffuse * (1.0 - f) * (em.kInvPi * jnp.maximum(cos_o, 0.0))[..., None]
   bsdf = diff_bsdf + spec_bsdf
 

@@ -144,23 +144,30 @@ for _alias, _name in (("au", "gold"), ("ag", "silver"), ("cu", "copper"),
   _BUILTIN_CONDUCTORS[_alias] = _BUILTIN_CONDUCTORS[_name]
 
 _BUILTIN_DIELECTRICS = {
-    # Cauchy A + B/lambda^2(um)
+    # Cauchy n = A + B/lambda^2(um). Anchored in tests/test_spectral_data.py
+    # against published sodium-D / F / C line indices (BK7 1.5168@587.6,
+    # water 1.3330@589.3, diamond 2.417@589.3, sapphire 1.768@589.3).
     "glass": (1.5046, 0.00420),
     "glass-bk7": (1.5046, 0.00420),
-    "water": (1.3199, 0.006878),
+    # fit through n=1.3330@589.3 and n=1.3373@486.1 (round-5 fix: the old
+    # (1.3199, 0.006878) pair gave 1.3397 at the D line, +0.7% high)
+    "water": (1.3238, 0.003182),
     "diamond": (2.3818, 0.0121),
     "sapphire": (1.7522, 0.00553),
     "vacuum": (1.0, 0.0),
     "air": (1.000277, 0.0),
-    "glycerol": (1.4646, 0.00448),
+    # through n=1.4730@589.3 with Abbe-number (~57) dispersion
+    "glycerol": (1.4553, 0.00614),
     "plastic": (1.5750, 0.00527),
     "superglass": (1.8042, 0.01234),
 }
 
 # illuminant SPD names from bin/spectrum/emission/ generated analytically:
-# blackbody_XXXXk via Planck, daylight/led approximated by normalized
-# blackbody at the nominal CCT (the reference ships measured curves; these
-# analytic stand-ins keep name compatibility without copying data)
+# blackbody_XXXXk + tungsten halogen via Planck, daylight_* via the CIE
+# D-series eigenvector model, led_* via a Gaussian phosphor model solved to
+# the nominal CCT (spectral_data.py; the reference ships measured curves —
+# these are derived from the published models, not copied, and their white
+# points/CCTs are test-anchored)
 _BUILTIN_ILLUMINANT_CCT = {
     "blackbody_3000k": 3000.0, "blackbody_5000k": 5000.0,
     "blackbody_6500k": 6500.0, "daylight_5000k": 5000.0,
@@ -223,7 +230,17 @@ class IORDatabase:
       return cls, eta, k
     if key in _BUILTIN_ILLUMINANT_CCT:
       cct = _BUILTIN_ILLUMINANT_CCT[key]
-      spd = sp.SpectralDistribution.from_normalized_black_body(cct, 1.0)
-      spd.cls = sp.SpectralDistribution.CLASS_ILLUMINANT
+      if key.startswith("daylight"):
+        # real CIE D-series curve via the eigenvector model (white points
+        # validated against published chromaticities)
+        spd = sdata.daylight(cct)
+      elif key.startswith("led"):
+        # Gaussian phosphor model solved to the nominal CCT (blue pump +
+        # phosphor hump; high-CRI adds the red phosphor)
+        spd = sdata.led(cct, high_cri="high_cri" in key)
+      else:
+        # blackbody_* and tungsten halogen ARE Planck radiators
+        spd = sp.SpectralDistribution.from_normalized_black_body(cct, 1.0)
+        spd.cls = sp.SpectralDistribution.CLASS_ILLUMINANT
       return sp.SpectralDistribution.CLASS_ILLUMINANT, spd, None
     return None

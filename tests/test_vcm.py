@@ -317,3 +317,23 @@ def test_deep_walk_preserves_last_vertex_slot():
   verts, _, _ = vcm.light_pass(scene, config, opts, 0, 256, 1.0, 1.0)
   valid = np.asarray(verts.valid)
   assert valid[:, 1].sum() > 0, "deep walk erased the last vertex slot"
+
+
+def test_render_chunk_matches_eager_loop():
+  """vcm.render_chunk (fori_loop-fused iterations, the bench gate's fast
+  path) must reproduce the eager render_iteration loop; render_chunk_stats
+  must report a plausible ray count."""
+  scene, config = cornell.build_cornell_box(
+      film_size=(16, 16), diffuse_only=True, max_path_length=4).build()
+  opts = vcm.VCMOptions()
+  n = 3
+  fs0 = film_mod.allocate(16, 16)
+  fs_a = fs0
+  for i in range(n):
+    fs_a = vcm.render_iteration(scene, config, opts, fs_a, i)
+  fs_b, rays = vcm.render_chunk_stats(scene, config, opts, fs0, 0, n)
+  a = np.asarray(film_mod.result_image(fs_a))
+  b = np.asarray(film_mod.result_image(fs_b))
+  np.testing.assert_allclose(b, a, rtol=2e-4, atol=1e-6)
+  # each iteration traces at least one closest ray per light+camera lane
+  assert float(rays) >= n * 2 * 256

@@ -225,28 +225,34 @@ def bench_vcm_correctness():
   scene, config = b.build()
 
   options = vcm.VCMOptions()
-  chunk = 128
+  chunk = 512
   fs = film_mod.allocate(config.film_width, config.film_height)
   t0 = time.time()
   fs = vcm.render_chunk(scene, config, options, fs, 0, chunk)
-  jax.block_until_ready(fs.camera)
+  float(np.asarray(fs.iteration))  # host transfer forces completion
   t_chunk = max(time.time() - t0, 1e-3)  # includes compile; later are cheaper
   done = chunk
-  # up to 4096 iterations if the budget allows (reserve 120 s for the PT
+  # up to 12288 iterations if the budget allows (reserve 180 s for the PT
   # side + metric math)
-  while done < 4096 and _left() - 120.0 > t_chunk:
+  while done < 12288 and _left() - 180.0 > t_chunk:
     t0 = time.time()
     fs = vcm.render_chunk(scene, config, options, fs, done, chunk)
-    jax.block_until_ready(fs.camera)
+    float(np.asarray(fs.iteration))
     t_chunk = max(time.time() - t0, 1e-3)
     done += chunk
   img_vcm = np.asarray(film_mod.result_image(fs))
 
-  spp_pt = 4096
-  sums, _ = path_tracing.render_samples_compiled(scene, config, 0, spp_pt,
-                                                 pool_size=1 << 16)
-  img_pt = np.asarray(path_tracing.finalize_film(sums, spp_pt,
-                                                 config.film_width).camera)
+  # PT side: 4096-spp executable reused; match the VCM spp (noise floors
+  # scale together)
+  acc = None
+  spp_pt = 0
+  while spp_pt < done:
+    s, _ = path_tracing.render_samples_compiled(scene, config, spp_pt, 4096,
+                                                pool_size=1 << 16)
+    acc = s.table if acc is None else acc + s.table
+    spp_pt += 4096
+  img_pt = np.asarray(path_tracing.finalize_film(
+      path_tracing.FilmSums(acc), spp_pt, config.film_width).camera)
 
   diff = img_vcm - img_pt
   rmse = float(np.sqrt(np.mean(diff ** 2)))

@@ -421,8 +421,21 @@ def light_pass(scene, config, options: VCMOptions, iteration, n_paths: int,
     # film.cxx:147-171 atomic_add_float; per-bounce so splat count is
     # unbounded by vertex storage)
     suv = cam.uv * 0.5 + 0.5
-    sx = (suv[..., 0] * film_w).astype(jnp.int32)
-    sy = (suv[..., 1] * true_h).astype(jnp.int32)
+    fx = suv[..., 0] * film_w
+    fy = suv[..., 1] * true_h
+    if config.pixel_filter == "blackman-harris":
+      # filter-consistent splatting (r5, BEYOND the reference: film.cxx
+      # bins splats at raw positions = box while camera rays are
+      # BH-jittered, which leaves a stationary pixel-scale PT-vs-VCM
+      # difference ~0.8% on the light-layer share of the image). Jitter
+      # the splat by the same radial BH kernel so every transport path
+      # sees ONE reconstruction filter.
+      rng_state, f_rnd = rng.next_2d(rng_state)
+      fj = camera_mod.blackman_harris_jitter(f_rnd)
+      fx = fx + fj[..., 0]
+      fy = fy + fj[..., 1]
+    sx = jnp.floor(fx).astype(jnp.int32)
+    sy = jnp.floor(fy).astype(jnp.int32)
     s_ok = can_connect & (sx >= 0) & (sx < film_w) & (sy >= 0) & (sy < img_rows)
     sx = jnp.clip(sx, 0, film_w - 1)
     sy = jnp.clip(sy, 0, img_rows - 1)
@@ -1143,109 +1156,21 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         cls=jnp.where(participates, sd.mat.cls, -1)))
 
     # --- lane-aligned vertex connections (vcm_connect_to_light_path) ---
-    # fori_loop over stored slots: ONE traced body instead of V unrolled
-    # copies (the MS-walk evals inside would otherwise explode compile time)
     if options.connect_vertices:
-      def connect_one(vi, carry):
-        gathered, rng_state, rays_in = carry
-        take = lambda a: jax.lax.dynamic_index_in_dim(a, vi, axis=1, keepdims=False)
-        lv_pos = take(verts.pos)
-        lv_nrm = take(verts.nrm)
-        lv_geo = take(verts.geo_n)
-        lv_wi = take(verts.w_i)
-        lv_thr = take(verts.throughput)
-        lv_valid = take(verts.valid)
-        lv_mat = pt._gather_mat(scene, take(verts.mat))
-        target_len = state.path_depth + take(verts.path_length) + 1
-        # camera vertex position: the surface hit, or the sampled medium
-        # point for camera-at-medium lanes (vcm_connect_to_light_vertex,
-        # vcm_shared.hxx:673-678)
-        cpos = pos
-        if config.has_media:
-          cpos = jnp.where(medium_event[..., None], msample.pos, pos)
-        d = lv_pos - cpos
-        dist2 = jnp.maximum(em.dot(d, d), 1e-12)
-        w_o = d / jnp.sqrt(dist2)[..., None]
-        # camera side
-        cb_val, cb_pdf = bsdf_dispatch.evaluate(scene, sd_eval, w_o, spectral, classes, config.diffuse_variations)
-        c_rev = cb_pdf if options.fast_mis else \
-            bsdf_dispatch.reverse_pdf(scene, sd_eval, w_o, spectral, classes)
-        cb_val, cb_pdf, c_rev = _sss_override(cb_val, cb_pdf, c_rev, w_o)
-        if config.has_media:
-          # camera_at_medium: phase function replaces the BSDF
-          # (vcm_connect_to_light_vertex, vcm_shared.hxx:693-703)
-          p_c = media_mod.phase_hg(state.ray_d, w_o, mv.phase_g)
-          cb_val = jnp.where(medium_event[..., None], p_c[..., None], cb_val)
-          cb_pdf = jnp.where(medium_event, p_c, cb_pdf)
-          c_rev = jnp.where(medium_event, p_c, c_rev)
-        # light side
-        lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
-                          tan=take(verts.tan), btn=take(verts.btn),
-                          geo_n=lv_geo, tex=take(verts.uv), wl=state.wl,
-                          medium=state.medium, mat=lv_mat)
-        lb_val, lb_pdf = bsdf_dispatch.evaluate(scene, lsd, -w_o, spectral, classes, config.diffuse_variations)
-        l_rev = lb_pdf if options.fast_mis else \
-            bsdf_dispatch.reverse_pdf(scene, lsd, -w_o, spectral, classes)
-        w_dot_l = -em.dot(lv_nrm, w_o)
-        fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
-        vmw_pair = jnp.full(r, vm_weight)
-        if config.has_media:
-          # light vertex inside a medium: phase function on the light side
-          # (vcm_connect_to_light_vertex, is_medium branch)
-          lv_is_med = take(verts.is_medium)
-          lv_med = take(verts.medium)
-          lv_g = scene.mediums.phase_g[jnp.maximum(lv_med, 0)]
-          p_l = media_mod.phase_hg(lv_wi, -w_o, lv_g)
-          lb_val = jnp.where(lv_is_med[..., None], p_l[..., None], lb_val)
-          lb_pdf = jnp.where(lv_is_med, p_l, lb_pdf)
-          l_rev = jnp.where(lv_is_med, p_l, l_rev)
-          w_dot_l = jnp.where(lv_is_med, 1.0, w_dot_l)
-          fix = jnp.where(lv_is_med, 1.0, fix)
-          vmw_pair = jnp.where(lv_is_med, 0.0, vmw_pair)
-        # light-side area-pdf camera factor: |cos| at a camera surface, 1
-        # for camera-at-medium (vcm_shared.hxx:742-746)
-        cam_factor = jnp.abs(em.dot(nrm, w_o))
-        if config.has_media:
-          cam_factor = jnp.where(medium_event, 1.0, cam_factor)
-          # vmW_pair = 0 if either endpoint is in a medium (:755)
-          vmw_pair = jnp.where(medium_event, 0.0, vmw_pair)
-        cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
-        light_area_pdf = lb_pdf * cam_factor / dist2
-        w_light = cam_area_pdf * (vmw_pair + take(verts.d_vcm) + take(verts.d_vc) * l_rev)
-        w_camera = light_area_pdf * (vmw_pair + state.d_vcm + state.d_vc * c_rev)
-        weight = jnp.where(options.enable_mis, 1.0 / (1.0 + w_light + w_camera), 1.0)
-        sh_o = pt._shading_pos(sd.geo_n, pos, w_o)
-        conn_lane = upd
-        if config.has_media:
-          sh_o = jnp.where(medium_event[..., None], msample.pos, sh_o)
-          # explicit connections from a medium event are gated per medium
-          # (vcm_camera_step :961)
-          conn_lane = upd | (medium_event & mv.explicit_connections)
-        seg_len = em.length(lv_pos - sh_o)
-        if config.has_media:
-          tr_vc, rng_state = pt._trace_transmittance(
-              scene, config, rng_state, state.medium, sh_o, lv_pos,
-              state.wl, spectral)
-          occ = jnp.max(tr_vc, axis=-1) <= 0.0
-        else:
-          tr_vc = None
-          occ = trace_ops.trace_occluded(scene, sh_o, w_o,
-                                         jnp.full(r, em.kRayEpsilon), seg_len * (1.0 - 1e-3))
-        ok = (conn_lane & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
-              & (target_len + 1 <= config.max_path_length))
-        contrib = (cb_val * state.throughput) * (lb_val * lv_thr) \
-            * (weight * fix / dist2)[..., None]
-        if config.has_media:
-          contrib = contrib * tr_vc
-        gathered = gathered + jnp.where(ok[..., None], contrib, 0.0)
-        rays_in = rays_in + jnp.sum((conn_lane & lv_valid).astype(jnp.float32))
-        return gathered, rng_state, rays_in
 
       def connect_batched(carry_in):
-        """All V connections in ONE batched eval + ONE occlusion launch
-        (no-media only): the per-slot fori serialized V trace launches
-        with their fixed dispatch overheads. Flattening keeps slot-major
-        order lane*V+v (reshape of (R,V,...))."""
+        """All V connections in ONE batched eval + ONE occlusion (or
+        transmittance) launch: the old per-slot fori serialized V trace
+        launches with their fixed dispatch overheads — on the volumetric
+        config the V sequential transmittance walks dominated the step.
+        Flattening keeps slot-major order lane*V+v (reshape of (R,V,...)).
+
+        Media (r5): per-(lane,slot) ratio-tracking transmittance runs as
+        one (R*V)-wide walk with hash-DERIVED RNG streams
+        (rng.seed(lane_state, slot)) instead of sequential per-lane draws —
+        a documented sample-stream change (estimator unchanged: streams
+        stay independent across slots and bounces because the lane state
+        advances each bounce)."""
         gathered_in, rays_in = carry_in
         V = options.max_stored_vertices
         rV = r * V
@@ -1264,7 +1189,13 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
         lv_valid = fl(verts.valid)
         lv_mat = pt._gather_mat(scene, fl(verts.mat))
         target_len = rp(state.path_depth) + fl(verts.path_length) + 1
-        d = lv_pos - rp(pos)
+        # camera vertex position: the surface hit, or the sampled medium
+        # point for camera-at-medium lanes (vcm_connect_to_light_vertex,
+        # vcm_shared.hxx:673-678)
+        cpos = pos
+        if config.has_media:
+          cpos = jnp.where(medium_event[..., None], msample.pos, pos)
+        d = lv_pos - rp(cpos)
         dist2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
         w_o = d / jnp.sqrt(dist2)[..., None]
 
@@ -1291,6 +1222,14 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
               sss_ok_b,
               em.kInvPi * jnp.abs(jnp.sum(sd_big.w_i * sd_big.nrm, axis=-1)),
               c_rev)
+        if config.has_media:
+          # camera_at_medium: phase function replaces the BSDF
+          # (vcm_connect_to_light_vertex, vcm_shared.hxx:693-703)
+          me_b = rp(medium_event)
+          p_c = media_mod.phase_hg(rp(state.ray_d), w_o, rp(mv.phase_g))
+          cb_val = jnp.where(me_b[..., None], p_c[..., None], cb_val)
+          cb_pdf = jnp.where(me_b, p_c, cb_pdf)
+          c_rev = jnp.where(me_b, p_c, c_rev)
 
         lsd = ShadingData(w_i=lv_wi, nrm=lv_nrm,
                           tan=fl(verts.tan), btn=fl(verts.btn),
@@ -1302,45 +1241,73 @@ def camera_pass(scene, config, options: VCMOptions, iteration, verts: LightVerti
             bsdf_dispatch.reverse_pdf(scene_big, lsd, -w_o, spectral, classes)
         w_dot_l = -jnp.sum(lv_nrm * w_o, axis=-1)
         fix = bsdf_dispatch.fix_shading_normal(lv_geo, lv_nrm, lv_wi, -w_o)
+        vmw_pair = jnp.full(rV, vm_weight)
         cam_factor = jnp.abs(jnp.sum(rp(nrm) * w_o, axis=-1))
+        if config.has_media:
+          # light vertex inside a medium: phase function on the light side
+          # (vcm_connect_to_light_vertex, is_medium branch)
+          lv_is_med = fl(verts.is_medium)
+          lv_med = fl(verts.medium)
+          lv_g = scene.mediums.phase_g[jnp.maximum(lv_med, 0)]
+          p_l = media_mod.phase_hg(lv_wi, -w_o, lv_g)
+          lb_val = jnp.where(lv_is_med[..., None], p_l[..., None], lb_val)
+          lb_pdf = jnp.where(lv_is_med, p_l, lb_pdf)
+          l_rev = jnp.where(lv_is_med, p_l, l_rev)
+          w_dot_l = jnp.where(lv_is_med, 1.0, w_dot_l)
+          fix = jnp.where(lv_is_med, 1.0, fix)
+          vmw_pair = jnp.where(lv_is_med, 0.0, vmw_pair)
+          # camera factor: |cos| at a camera surface, 1 at a medium event;
+          # vmW_pair = 0 if either endpoint is in a medium (:742-755)
+          cam_factor = jnp.where(me_b, 1.0, cam_factor)
+          vmw_pair = jnp.where(me_b, 0.0, vmw_pair)
         cam_area_pdf = cb_pdf * jnp.abs(w_dot_l) / dist2
         light_area_pdf = lb_pdf * cam_factor / dist2
-        w_light = cam_area_pdf * (vm_weight + fl(verts.d_vcm)
+        w_light = cam_area_pdf * (vmw_pair + fl(verts.d_vcm)
                                   + fl(verts.d_vc) * l_rev)
-        w_camera = light_area_pdf * (vm_weight + rp(state.d_vcm)
+        w_camera = light_area_pdf * (vmw_pair + rp(state.d_vcm)
                                      + rp(state.d_vc) * c_rev)
         weight = jnp.where(options.enable_mis,
                            1.0 / (1.0 + w_light + w_camera), 1.0)
         sh_o = pt._shading_pos(rp(sd.geo_n), rp(pos), w_o)
+        conn_lane = rp(upd)
+        if config.has_media:
+          sh_o = jnp.where(me_b[..., None], rp(msample.pos), sh_o)
+          # explicit connections from a medium event are gated per medium
+          # (vcm_camera_step :961)
+          conn_lane = conn_lane | (me_b & rp(mv.explicit_connections))
         seg_len = em.length(lv_pos - sh_o)
-        occ = trace_ops.trace_occluded(scene, sh_o, w_o,
-                                       jnp.full(rV, em.kRayEpsilon),
-                                       seg_len * (1.0 - 1e-3))
-        ok = (rp(upd) & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
+        if config.has_media:
+          slot_ids = jnp.tile(jnp.arange(V, dtype=jnp.uint32), r)
+          rng_rv = rng.seed(rp(state.rng_state), slot_ids)
+          tr_vc, _ = pt._trace_transmittance(
+              scene, config, rng_rv, rp(state.medium), sh_o, lv_pos,
+              wl_rep, spectral)
+          occ = jnp.max(tr_vc, axis=-1) <= 0.0
+        else:
+          tr_vc = None
+          occ = trace_ops.trace_occluded(scene, sh_o, w_o,
+                                         jnp.full(rV, em.kRayEpsilon),
+                                         seg_len * (1.0 - 1e-3))
+        ok = (conn_lane & lv_valid & ~occ & (cb_pdf > 0.0) & (lb_pdf > 0.0)
               & (target_len + 1 <= config.max_path_length))
         contrib = (cb_val * rp(state.throughput)) * (lb_val * lv_thr) \
             * (weight * fix / dist2)[..., None]
+        if config.has_media:
+          contrib = contrib * tr_vc
         contrib = jnp.where(ok[..., None], contrib, 0.0)
-        rays_in = rays_in + jnp.sum((rp(upd) & lv_valid).astype(jnp.float32))
+        rays_in = rays_in + jnp.sum((conn_lane & lv_valid).astype(jnp.float32))
         return (gathered_in + contrib.reshape(r, V, -1).sum(axis=1), rays_in)
 
-      def run_connections(carry):
-        return jax.lax.fori_loop(
-            0, options.max_stored_vertices, connect_one, carry)
-
+      # deep-tail skip: the batched connections draw no LANE rng (media
+      # transmittance uses hash-derived streams), so the cond is
+      # stream-neutral; once no lane can connect the whole (R*V) eval +
+      # trace collapse to one any-reduce
+      conn_any = participates
       if config.has_media:
-        # media connections advance per-lane RNG (ratio-tracking
-        # transmittance), so skipping would shift streams — always run;
-        # the fori keeps transmittance walks per slot
-        gathered, rng_state, rays_ct = run_connections(
-            (gathered, rng_state, rays_ct))
-      else:
-        # deep-tail skip: no RNG is drawn in surface-only connections, so
-        # the cond is stream-neutral; once every lane is delta/dead the
-        # batched eval + trace collapse to one any-reduce
-        gathered, rays_ct = jax.lax.cond(
-            jnp.any(participates), connect_batched, lambda g: g,
-            (gathered, rays_ct))
+        conn_any = participates | (medium_event & mv.explicit_connections)
+      gathered, rays_ct = jax.lax.cond(
+          jnp.any(conn_any), connect_batched, lambda g: g,
+          (gathered, rays_ct))
 
     # --- merging (photon gather; at the SSS exit when substituted) ---
     if options.enable_merging:

@@ -67,12 +67,17 @@ _WALK_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric})
 
 # classes expensive enough to wrap in lax.cond when multiple classes are
 # compiled: the branch is skipped entirely on bounces whose wavefront holds
-# no lanes of the class. Only WALK-bearing lobes qualify: with the LUT
-# conductor backend every other lobe is flat fusable VPU math, and a cond
-# costs a ~0.3 ms launch floor + operand copies per instance (r04 xplane
-# trace: conds+copies were ~15 ms of the 42 ms materials step).
+# no lanes of the class. Kept EVEN under the r5 all-LUT backends: removing
+# the conds was measured at materials 5.7 -> 1.5 Mrays/s (r5) — by the
+# mid-path bounces large parts of the wavefront are diffuse-only, and the
+# skipped specular subgraphs (incl. the E_d one-hot lookups) far outweigh
+# the ~0.3 ms cond launch floor.
 _COND_CLASSES = frozenset({MC.Plastic, MC.Conductor, MC.Dielectric,
                            MC.Thinfilm, MC.Principled, MC.Velvet})
+
+
+def _cond_classes():
+  return _COND_CLASSES
 
 
 # --- material-sorted tile dispatch ----------------------------------------
@@ -188,7 +193,7 @@ def _sample_masked(scene, sd: lobes.ShadingData, rnd, spectral: bool,
           lambda c, m: _SAMPLERS[c](scene, sd, rnd, spectral), cls)
     else:  # Void
       continue
-    if len(classes) > 1 and cls in _COND_CLASSES:
+    if len(classes) > 1 and cls in _cond_classes():
       # real control flow: a bounce whose wavefront holds no lanes of this
       # class skips its whole subgraph (classes localize spatially)
       out = jax.lax.cond(jnp.any(cls_mask),
@@ -312,7 +317,7 @@ def _evaluate_masked(scene, sd: lobes.ShadingData, w_o, spectral: bool,
           lambda c, m: _EVALUATORS[c](scene, sd, w_o, spectral), cls)
     else:
       continue
-    if len(classes) > 1 and cls in _COND_CLASSES:
+    if len(classes) > 1 and cls in _cond_classes():
       b, p = jax.lax.cond(jnp.any(cls_mask),
                           lambda fn=fn, m=cls_mask: fn(m), lambda: zeros)
     else:

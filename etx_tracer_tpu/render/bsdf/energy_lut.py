@@ -206,13 +206,24 @@ def _alpha_iso(alpha):
 # (refracted rays shadow less), which over-compensated by ~8% when reused.
 # ---------------------------------------------------------------------------
 
-_N_ETA = 16
-_ETA_MAX = 2.5
+_N_ETA = 8
+_N_DA = 16      # dielectric-table alpha resolution: the flattened one-hot
+_ETA_MAX = 2.5  # lookup materializes (R, N_ETA*N_DA) rows — keep it small
 
 
 def _eta_grid():
   # log-symmetric: entering (eta>1) and exiting (eta<1) crossings
   return np.exp(np.linspace(-np.log(_ETA_MAX), np.log(_ETA_MAX), _N_ETA))
+
+
+def _da_grid():
+  return np.exp(np.linspace(np.log(_ALPHA_MIN), np.log(_ALPHA_MAX), _N_DA))
+
+
+def _da_coord(alpha):
+  la = jnp.log(jnp.clip(alpha, _ALPHA_MIN, _ALPHA_MAX))
+  lo, hi = np.log(_ALPHA_MIN), np.log(_ALPHA_MAX)
+  return (la - lo) / (hi - lo) * (_N_DA - 1)
 
 
 def _fresnel_dielectric_np(cos_i, eta):
@@ -267,7 +278,7 @@ def _dielectric_tables_np():
   ggx_g1's sidedness gate), branch sign checks included. 1/E_d is then an
   exact-by-construction multiplicative closure for that sampler."""
   mus = _mu_grid()
-  alphas = _alpha_grid()
+  alphas = _da_grid()
   etas = _eta_grid()
 
   n1, n2 = 64, 64
@@ -276,7 +287,7 @@ def _dielectric_tables_np():
   u1 = np.broadcast_to(u1, (n1, n2)).reshape(-1)
   u2 = np.broadcast_to(u2, (n1, n2)).reshape(-1)
 
-  table = np.empty((_N_ETA, _N_ALPHA, _N_MU), np.float64)
+  table = np.empty((_N_ETA, _N_DA, _N_MU), np.float64)
   for ia, a in enumerate(alphas):
     for im_, mu_i in enumerate(mus):
       si = np.sqrt(max(1.0 - mu_i * mu_i, 0.0))
@@ -310,23 +321,23 @@ def e_dielectric_lookup(mu, alpha_iso, eta):
   """E_d(eta, alpha, mu): trilinear, gather-free (weighted one-hot rows)."""
   from etx_tracer_tpu.ops import gather as gather_ops
   tab = jnp.asarray(_dielectric_tables_np())      # (E, A, M)
-  flat = tab.reshape(_N_ETA * _N_ALPHA, _N_MU)
+  flat = tab.reshape(_N_ETA * _N_DA, _N_MU)
   ce = jnp.clip(_eta_coord(eta), 0.0, _N_ETA - 1.0)
-  ca = jnp.clip(_alpha_coord(alpha_iso), 0.0, _N_ALPHA - 1.0)
+  ca = jnp.clip(_da_coord(alpha_iso), 0.0, _N_DA - 1.0)
   cm = jnp.clip(_mu_coord(mu), 0.0, _N_MU - 1.0)
   e0 = jnp.floor(ce).astype(jnp.int32)
   a0 = jnp.floor(ca).astype(jnp.int32)
   m0 = jnp.floor(cm).astype(jnp.int32)
   e1 = jnp.minimum(e0 + 1, _N_ETA - 1)
-  a1 = jnp.minimum(a0 + 1, _N_ALPHA - 1)
+  a1 = jnp.minimum(a0 + 1, _N_DA - 1)
   m1 = jnp.minimum(m0 + 1, _N_MU - 1)
   fe = ce - e0
   fa = ca - a0
   fm = cm - m0
   rows = gather_ops.take_rows_weighted(
       flat,
-      jnp.stack([e0 * _N_ALPHA + a0, e0 * _N_ALPHA + a1,
-                 e1 * _N_ALPHA + a0, e1 * _N_ALPHA + a1], axis=-1),
+      jnp.stack([e0 * _N_DA + a0, e0 * _N_DA + a1,
+                 e1 * _N_DA + a0, e1 * _N_DA + a1], axis=-1),
       jnp.stack([(1.0 - fe) * (1.0 - fa), (1.0 - fe) * fa,
                  fe * (1.0 - fa), fe * fa], axis=-1))     # (R, N_MU)
   cols = jnp.arange(_N_MU, dtype=jnp.int32)

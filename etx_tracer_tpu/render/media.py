@@ -111,9 +111,20 @@ def gather_medium(scene, medium_idx, wl, spectral: bool) -> MediumView:
 
 
 def sample_density(scene, mv: MediumView, world_pos):
-  """Trilinear density lookup in the unit-local grid (scene_medium.hxx:58-95)."""
+  """Trilinear density lookup in the unit-local grid (scene_medium.hxx:58-95).
+
+  TPU shape (r5): the naive form needs 8 per-lane 4D gathers per call, and
+  sample_density sits INSIDE the ratio-tracking while_loops — XLA routes
+  those through the scalar unit, which made heterogeneous transmittance
+  the volumetric BDPT bottleneck (~88% of the step in the r5 ablation).
+  For grids whose (D*gz*gy) fits the one-hot MXU gather budget, the
+  (z, y)-plane rows are fetched as ONE weighted one-hot matmul
+  (ops/gather.take_rows_weighted, 4 rows = the bilinear z/y corners) and
+  the x interpolation is a masked 2-hot reduction over the row — no
+  scalar-unit gathers anywhere. Larger grids keep the gather fallback.
+  """
   grid = scene.mediums.grid  # (D, gz, gy, gx)
-  _, gz, gy, gx = grid.shape
+  nd, gz, gy, gx = grid.shape
   local = (world_pos - mv.bounds_min) / jnp.maximum(mv.bounds_max - mv.bounds_min, 1e-12)
   inside = jnp.all((local >= 0.0) & (local < 1.0), axis=-1)
   px = jnp.clip(local[..., 0] * gx - 0.5, 0.0, gx - 1.0)
@@ -126,13 +137,30 @@ def sample_density(scene, mv: MediumView, world_pos):
   ny = jnp.minimum(iy + 1, gy - 1)
   nz = jnp.minimum(iz + 1, gz - 1)
   gi = mv.grid_index
+  dx = px - jnp.floor(px)
+  dy = py - jnp.floor(py)
+  dz = pz - jnp.floor(pz)
+
+  from etx_tracer_tpu.ops import gather as gather_ops
+  n_rows = nd * gz * gy
+  if n_rows <= gather_ops.ONEHOT_LIMIT:
+    flat = grid.reshape(n_rows, gx)
+    base = gi * (gz * gy)
+    rows = gather_ops.take_rows_weighted(
+        flat,
+        jnp.stack([base + iz * gy + iy, base + iz * gy + ny,
+                   base + nz * gy + iy, base + nz * gy + ny], axis=-1),
+        jnp.stack([(1.0 - dz) * (1.0 - dy), (1.0 - dz) * dy,
+                   dz * (1.0 - dy), dz * dy], axis=-1))      # (R, gx)
+    cols = jnp.arange(gx, dtype=jnp.int32)
+    wx = ((ix[..., None] == cols) * (1.0 - dx)[..., None]
+          + (nx[..., None] == cols) * dx[..., None])
+    val = jnp.sum(rows * wx, axis=-1)
+    return jnp.where(inside, val, 0.0)
 
   def d(zz, yy, xx):
     return grid[gi, zz, yy, xx]
 
-  dx = px - jnp.floor(px)
-  dy = py - jnp.floor(py)
-  dz = pz - jnp.floor(pz)
   bottom = em.lerp(em.lerp(d(iz, iy, ix), d(iz, iy, nx), dx),
                    em.lerp(d(iz, ny, ix), d(iz, ny, nx), dx), dy)
   top = em.lerp(em.lerp(d(nz, iy, ix), d(nz, iy, nx), dx),

@@ -104,6 +104,7 @@ class TestImportance:
     # simpler invariant: E_cdf[1/pdf] * norm_est finite & positive
     assert np.isfinite(est_importance) and est_importance > 0
 
+  @pytest.mark.slow
   def test_env_render_with_image(self, tmp_path):
     """Cornell with an env map image renders finite and non-black when the
     walls open to the environment."""
@@ -252,6 +253,7 @@ class TestEnvRotation:
     fs = path_tracing.render(scene, config, iterations=4)
     return np.asarray(film_mod.result_image(fs))
 
+  @pytest.mark.slow
   def test_env_rotation_changes_background(self):
     """A 180-degree rotation (offset_u=0.5) swaps which camera rays see the
     bright half (features.md 'Environment maps with rotation';
@@ -264,6 +266,7 @@ class TestEnvRotation:
     lb, rb = b[:, :3].mean(), b[:, -3:].mean()
     assert (la - ra) * (lb - rb) < 0.0, (la, ra, lb, rb)
 
+  @pytest.mark.slow
   def test_env_from_compressed_half_exr(self, tmp_path):
     """End-to-end: an external-style ZIP half-float EXR HDRI loads through
     add_image_file and renders (VERDICT r2 item 6)."""

@@ -160,6 +160,7 @@ class TestSubsurface:
 class TestSubsurfaceCB:
   """Christensen-Burley disk gather (scene_bssrdf_subsurface.hxx:89-145)."""
 
+  @pytest.mark.slow
   def test_cb_matches_rw_brightness(self):
     import dataclasses as dc
     from etx_tracer_tpu.scene import cornell

@@ -45,6 +45,7 @@ def test_sharded_matches_single_device(mesh_setup):
   np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_second_iteration_accumulates(mesh_setup):
   from etx_tracer_tpu import parallel
   from etx_tracer_tpu.render import film as film_mod
@@ -62,6 +63,7 @@ def test_sharded_second_iteration_accumulates(mesh_setup):
   assert not np.allclose(it1, it2)  # second sample changed the mean
 
 
+@pytest.mark.slow
 def test_sharded_uneven_height_pads_and_matches():
   """Film heights not divisible by the device count pad + crop (VERDICT
   round-1 weak item: h % n_dev != 0 used to crash)."""
@@ -159,6 +161,7 @@ def test_sharded_vcm_matches_single_device():
   assert abs(e1 - e2) / max(e1, 1e-9) < 0.05
 
 
+@pytest.mark.slow
 def test_sharded_vcm_delta_emitter_splats_cross_shards():
   """Light tracing from a DELTA (directional) emitter: every contribution
   arrives via camera splats, which land on arbitrary pixels and so must

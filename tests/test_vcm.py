@@ -273,6 +273,7 @@ class TestFastMIS:
     ratio = img.mean() / pt_img.mean()
     assert 0.85 < ratio < 1.15, ratio
 
+  @pytest.mark.slow
   def test_fast_mis_full_vcm_finite(self):
     import dataclasses
     from etx_tracer_tpu.scene import cornell
@@ -285,6 +286,7 @@ class TestFastMIS:
     assert np.isfinite(img).all() and img.sum() > 0
 
 
+@pytest.mark.slow
 def test_camera_cascade_matches_single_phase(monkeypatch):
   """The camera-pass compaction cascade (active above
   _CAMERA_CASCADE_MIN lanes) must reproduce the single-phase result —

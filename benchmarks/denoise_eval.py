@@ -60,29 +60,45 @@ def main():
                                 max_path_length=8)
   scene, config = b.build()
 
-  # noisy render WITH AOVs (render_iteration fills normals/albedo layers)
-  fs = path_tracing.render(scene, config, iterations=32)
-  noisy = np.asarray(film_mod.result_image(fs))
-
   # ground truth: 4096 spp through the pooled renderer
   sums, _ = path_tracing.render_samples_compiled(scene, config, 0, 4096,
                                                  pool_size=1 << 16)
   gt = np.asarray(path_tracing.finalize_film(sums, 4096, size).camera)
 
-  den = np.asarray(denoiser.denoise_film(fs).camera)
-
-  mse_noisy = float(((noisy - gt) ** 2).mean())
-  mse_den = float(((den - gt) ** 2).mean())
-  out = {
-      "spp": 32,
-      "mse_noisy": mse_noisy,
-      "mse_denoised": mse_den,
-      "mse_reduction_x": mse_noisy / max(mse_den, 1e-12),
-      "ssim_noisy": ssim(noisy, gt),
-      "ssim_denoised": ssim(den, gt),
-      "oidn_class_published_mse_reduction_x": "10-20 (typical, for context)",
-  }
-  print(json.dumps(out, indent=2))
+  for spp in (4, 32):
+    # noisy render WITH AOVs (render_iteration fills normals/albedo layers)
+    fs = path_tracing.render(scene, config, iterations=spp)
+    noisy = np.asarray(film_mod.result_image(fs))
+    rows = []
+    e_noisy = ((noisy - gt) ** 2).mean(-1)
+    # robust view: the image-mean MSE is dominated by emitter-EDGE
+    # partial-coverage pixels (binary at low spp) that NO classical
+    # edge-preserving filter can fix — report interior percentiles too
+    thr = np.percentile(e_noisy, 95)
+    interior = e_noisy < thr
+    for its in (1, 2, 3, 5):
+      den = np.asarray(denoiser.denoise_film(fs, iterations=its))
+      e_den = ((den - gt) ** 2).mean(-1)
+      rows.append((its, float(e_den.mean()), ssim(den, gt),
+                   float(e_den[interior].mean()),
+                   float(np.percentile(e_den, 50))))
+    mse_noisy = float(e_noisy.mean())
+    best = min(rows, key=lambda r: r[3])
+    out = {
+        "spp": spp,
+        "mse_noisy": mse_noisy,
+        "mse_noisy_excl_top5pct": float(e_noisy[interior].mean()),
+        "p50_noisy": float(np.percentile(e_noisy, 50)),
+        "ssim_noisy": ssim(noisy, gt),
+        "per_depth": [{"atrous_levels": r[0], "mse": r[1], "ssim": r[2],
+                       "mse_excl_top5pct": r[3], "p50": r[4]}
+                      for r in rows],
+        "best_mse_reduction_x_overall": mse_noisy / max(best[1], 1e-12),
+        "best_mse_reduction_x_excl_top5pct":
+            float(e_noisy[interior].mean()) / max(best[3], 1e-12),
+        "oidn_class_published_mse_reduction_x": "10-20 (typical, for context)",
+    }
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

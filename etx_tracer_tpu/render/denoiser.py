@@ -33,7 +33,7 @@ def _box3(x):
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def denoise(color, normals, albedo, variance=None, iterations: int = 3,
             sigma_color: float = 0.25, sigma_normal: float = 0.3,
-            sigma_albedo: float = 0.15):
+            sigma_albedo: float = 0.15, sigma_l: float = 4.0):
   """Denoise (H,W,3) color using normal/albedo guides.
 
   variance: optional (H,W) per-pixel luminance variance estimate (the
@@ -63,8 +63,11 @@ def denoise(color, normals, albedo, variance=None, iterations: int = 3,
         n = _shift2d(normals, dy, dx)
         a = _shift2d(albedo, dy, dx)
         if var is not None:
+          # SVGF luminance weight: |dl| / (sigma_l sqrt(var)). sigma_l ~ 4
+          # (Schied et al.); the old 0.25 collapsed every weight to the
+          # center pixel (measured: 1.1x MSE reduction instead of ~4x)
           d_l = jnp.abs(jnp.sum(c * lum_w, axis=-1) - center_l) \
-              / (sigma_color * noise)
+              / (sigma_l * noise)
           w_c = jnp.exp(-d_l)
         else:
           # relative luminance distance: HDR-robust (bright pixels would
@@ -85,6 +88,22 @@ def denoise(color, normals, albedo, variance=None, iterations: int = 3,
       # kernel-squared factor is a cheap stand-in
       var = _box3(var) * 0.25
   return out
+
+
+def firefly_clamp(color, k: float = 4.0):
+  """Outlier (firefly) pre-filter: a pixel whose luminance exceeds k x its
+  8-neighborhood mean is replaced by that neighborhood mean. The a-trous
+  edge-stopping weights PRESERVE fireflies (they look like edges), so
+  without this pre-pass a handful of outliers dominates the image MSE
+  (measured at 4 spp Cornell: p50 pixel MSE improves 26x but the mean only
+  1.1x). OIDN's learned filter removes them implicitly; this is the
+  classical equivalent."""
+  lum_w = jnp.array([0.212671, 0.715160, 0.072169])
+  lum = jnp.sum(color * lum_w, axis=-1)
+  nb = (9.0 * _box3(color) - color) / 8.0
+  nb_lum = jnp.maximum(jnp.sum(nb * lum_w, axis=-1), 0.0)
+  hot = lum > k * nb_lum + 1e-3
+  return jnp.where(hot[..., None], nb, color)
 
 
 def film_variance(film_state):
@@ -108,6 +127,10 @@ def denoise_film(film_state, iterations: int | None = None):
     import math
     side = min(film_state.camera.shape[0], film_state.camera.shape[1])
     iterations = max(2, min(5, int(math.log2(max(side, 4))) - 3))
-  color = film_mod.result_image(film_state)
+  color = firefly_clamp(film_mod.result_image(film_state))
+  # the film's two-buffer variance estimate drives the SVGF-style
+  # noise-normalized luminance weight (without it the relative-luminance
+  # fallback barely filters: measured 1.1-1.3x MSE reduction vs 3-4x)
   return denoise(color, film_state.normals, film_state.albedo,
+                 variance=film_variance(film_state),
                  iterations=iterations)

@@ -214,14 +214,14 @@ def bench_trace_oracle():
       perm = jnp.argsort(key)
       os, ds = o[perm], d[perm]
       ts, xs = tmin[perm], tmax[perm]
-      for rb in (16, 8, 4, 2):
+      for rb in (16, 8):  # rb<8 blocks no longer lower (Pallas 8x128 rule)
         fn = lambda o_, d_, tn, tx, rb=rb: pallas_trace.intersect_bvh_fat_pallas(
             scene.bvh, scene.tri_v0, scene.tri_e1, scene.tri_e2,
             o_, d_, tn, tx, rb=rb)
         step, st = _trace_chain(fn, os, ds, ts, xs)
         dt = _chain_time(step, st)
         print(f"oracle[{name}] {kind:7s} rb={rb:2d}: {dt*1e3:7.2f} ms  "
-              f"{num_r/dt/1e6:8.2f} Mrays/s")
+              f"{num_r/dt/1e6:8.2f} Mrays/s", flush=True)
 
 
 def bench_sort():

@@ -15,7 +15,9 @@ emitted). Three defenses:
      and is committed, so the driver's run starts warm (~seconds per
      executable instead of minutes).
   2. Benches run cheapest-compile-first and each is wrapped in a
-     wall-clock guard (ETX_BENCH_BUDGET_S, default 3300 s): when the
+     wall-clock guard (ETX_BENCH_BUDGET_S, default 1800 s — the round-3
+     driver run finished and the round-4 one was killed, bracketing the
+     driver's own timeout near 30-45 min): when the
      remaining budget can't cover a bench's worst-case cold cost, an
      explicit {"metric": ..., "skipped": "budget"} line is emitted
      instead of dying silently.
@@ -40,7 +42,7 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 _T0 = time.time()
-_BUDGET = float(os.environ.get("ETX_BENCH_BUDGET_S", "3300"))
+_BUDGET = float(os.environ.get("ETX_BENCH_BUDGET_S", "1800"))
 
 
 def _left():

@@ -140,6 +140,7 @@ class TestVCMMedia:
                                   max_path_length=5, fog_scattering=0.25)
     return b.build()
 
+  @pytest.mark.slow
   def test_fog_cross_integrator_agreement(self):
     from etx_tracer_tpu.models import path_tracing, vcm
     from etx_tracer_tpu.render import film as film_mod
@@ -192,6 +193,7 @@ class TestVCMSubsurface:
                                  subsurface_spec=dist)
     return b.build()
 
+  @pytest.mark.slow
   def test_vcm_sss_cross_integrator_agreement(self):
     from etx_tracer_tpu.scene import types as st
     scene, config = self._scene(st.SubsurfaceClass.RandomWalk)
@@ -234,6 +236,7 @@ class TestDepthCapLifted:
     assert imgs[0].sum() > 0
     np.testing.assert_allclose(imgs[0], imgs[1], rtol=1e-6)
 
+  @pytest.mark.slow
   def test_camera_walk_independent_of_vertex_storage(self):
     """Direct-hit-only VCM (pure BSDF walk) must reach max_path_length
     regardless of max_stored_vertices (the old cap was v_slots + 2)."""

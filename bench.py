@@ -169,7 +169,7 @@ def _vcm_chunk_stats(builder, options, n_iters=3):
   scene, config = builder.build()
   fs0 = film_mod.allocate(config.film_width, config.film_height)
   fs, rays = vcm.render_chunk_stats(scene, config, options, fs0, 0, n_iters)
-  jax.block_until_ready(fs.camera)  # compile + warm
+  float(rays)  # compile + warm; host transfer forces completion (tunnel)
   t0 = time.time()
   fs, rays = vcm.render_chunk_stats(scene, config, options, fs0, n_iters,
                                     n_iters)
@@ -178,6 +178,27 @@ def _vcm_chunk_stats(builder, options, n_iters=3):
   img = np.asarray(film_mod.result_image(fs))
   assert np.isfinite(img).all()
   return dt, rays_total / n_iters
+
+
+def _vcm_iter_stats(builder, options, n_iters=3):
+  """(step_seconds, rays_per_iteration) via per-iteration dispatches —
+  required for MERGING configs at large films (the fori_loop chunk runs
+  ~16x slower there; see vcm.render_iteration_stats)."""
+  from etx_tracer_tpu.models import vcm
+  from etx_tracer_tpu.render import film as film_mod
+  scene, config = builder.build()
+  fs = film_mod.allocate(config.film_width, config.film_height)
+  fs, rays = vcm.render_iteration_stats(scene, config, options, fs, 0)
+  float(rays)  # compile + warm
+  t0 = time.time()
+  total = 0.0
+  for i in range(1, 1 + n_iters):
+    fs, rays = vcm.render_iteration_stats(scene, config, options, fs, i)
+    total += float(rays)
+  dt = (time.time() - t0) / n_iters
+  img = np.asarray(film_mod.result_image(fs))
+  assert np.isfinite(img).all()
+  return dt, total / n_iters
 
 
 def bench_volumetric():
@@ -199,8 +220,8 @@ def bench_caustics():
   star by measured rays/iteration."""
   from benchmarks import scenes
   from etx_tracer_tpu.models import vcm
-  dt, rays_it = _vcm_chunk_stats(scenes.caustics((256, 256)),
-                                 vcm.VCMOptions())
+  dt, rays_it = _vcm_iter_stats(scenes.caustics((256, 256)),
+                                vcm.VCMOptions())
   _emit("caustics_vcm_step_time", dt, "s/iteration",
         (rays_it / 100e6) / max(dt, 1e-9))
   t1024 = 1024.0 * dt
